@@ -1,0 +1,147 @@
+"""Film: full-frame rendering, progressive accumulation, checkpoint/resume.
+
+The reference computes all spp in one launch and persists nothing but the
+final PNG (device.cu:229, SURVEY.md section 5 "checkpoint/resume: none").
+Here the film is explicit state -- (sample sum, per-pixel RNG state, spp done)
+-- so renders are progressive, resumable from an ``.npz`` checkpoint, and
+chunkable over both pixels and spp.  Because the per-pixel LCG stream is
+carried in the film, a resumed render draws the exact same sample sequence as
+an uninterrupted one (results match up to f32 summation order).
+
+Framebuffer conventions (parity): pixel (x, y=0) is the *bottom* image row;
+``finalize`` applies the reference's store-time flip (device.cu:251) so PNG
+row 0 is the top; quantization is owl's make_rgba (utils/image.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.scene import RenderSettings, Scene
+from ..ops import rng as rng_mod
+from . import integrator
+
+
+@dataclasses.dataclass
+class Film:
+    acc: np.ndarray  # [H*W, 3] f32 radiance sum
+    rng: np.ndarray  # [H*W] uint32 per-pixel LCG state
+    spp_done: int
+    width: int
+    height: int
+
+
+def _pixel_grid(width: int, height: int) -> np.ndarray:
+    """All pixel coords [H*W, 2] in reference launch order (x fastest)."""
+    x, y = np.meshgrid(np.arange(width, dtype=np.int32), np.arange(height, dtype=np.int32))
+    return np.stack([x.ravel(), y.ravel()], axis=-1)
+
+
+def new_film(settings: RenderSettings) -> Film:
+    px = _pixel_grid(settings.width, settings.height)
+    state = np.asarray(rng_mod.seed(jnp.asarray(px[:, 0]), jnp.asarray(px[:, 1])))
+    return Film(
+        acc=np.zeros((settings.width * settings.height, 3), np.float32),
+        rng=state,
+        spp_done=0,
+        width=settings.width,
+        height=settings.height,
+    )
+
+
+@partial(jax.jit, static_argnames=("settings", "num_samples", "enable_textures", "tri_chunk"))
+def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk):
+    intersect_fn = integrator.make_brute_intersector(scene, tri_chunk=tri_chunk)
+    return integrator.sample_sum(
+        scene, settings, pixel_xy, rng_state, num_samples, intersect_fn, enable_textures
+    )
+
+
+def scene_has_textures(scene: Scene) -> bool:
+    return bool(np.any(np.asarray(scene.mat_tex) >= 0))
+
+
+def add_samples(
+    scene: Scene,
+    settings: RenderSettings,
+    film: Film,
+    num_samples: int,
+    pixel_chunk: int = 65536,
+    tri_chunk: int = 512,
+) -> Film:
+    """Accumulate ``num_samples`` more spp into the film (pixel-chunked)."""
+    enable_textures = scene_has_textures(scene)
+    px = _pixel_grid(film.width, film.height)
+    total = px.shape[0]
+    acc = film.acc.copy()
+    state = film.rng.copy()
+    # pad to a whole number of chunks so one compiled program serves all chunks
+    n_chunks = -(-total // pixel_chunk)
+    for c in range(n_chunks):
+        lo = c * pixel_chunk
+        hi = min(lo + pixel_chunk, total)
+        idx = np.arange(lo, hi)
+        if hi - lo < pixel_chunk:  # pad final chunk
+            idx = np.concatenate([idx, np.full(pixel_chunk - (hi - lo), total - 1)])
+        s, r = _sample_sum_jit(
+            scene,
+            settings,
+            jnp.asarray(px[idx]),
+            jnp.asarray(state[idx]),
+            num_samples,
+            enable_textures,
+            tri_chunk,
+        )
+        s = np.asarray(s)[: hi - lo]
+        r = np.asarray(r)[: hi - lo]
+        acc[lo:hi] += s
+        state[lo:hi] = r
+    return Film(acc=acc, rng=state, spp_done=film.spp_done + num_samples, width=film.width, height=film.height)
+
+
+def finalize(film: Film) -> np.ndarray:
+    """Average + store-time vertical flip -> f32 [H,W,3], row 0 = image top."""
+    img = film.acc.reshape(film.height, film.width, 3) / max(film.spp_done, 1)
+    return img[::-1].copy()
+
+
+def render_image(
+    scene: Scene,
+    settings: RenderSettings,
+    spp: Optional[int] = None,
+    pixel_chunk: int = 65536,
+    tri_chunk: int = 512,
+) -> np.ndarray:
+    """One-shot full-frame render -> linear f32 [H,W,3] (top row first)."""
+    film = new_film(settings)
+    film = add_samples(
+        scene,
+        settings,
+        film,
+        settings.max_samples if spp is None else spp,
+        pixel_chunk=pixel_chunk,
+        tri_chunk=tri_chunk,
+    )
+    return finalize(film)
+
+
+def save_checkpoint(path, film: Film):
+    np.savez_compressed(
+        path, acc=film.acc, rng=film.rng, spp_done=film.spp_done, width=film.width, height=film.height
+    )
+
+
+def load_checkpoint(path) -> Film:
+    z = np.load(path)
+    return Film(
+        acc=z["acc"],
+        rng=z["rng"],
+        spp_done=int(z["spp_done"]),
+        width=int(z["width"]),
+        height=int(z["height"]),
+    )

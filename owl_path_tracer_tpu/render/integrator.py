@@ -1,0 +1,274 @@
+"""Wavefront path integrator: ``lax.scan`` over bounces, SoA over rays.
+
+TPU-native replacement for the reference megakernel
+(``/root/reference/path_tracer/src/device/device.cu:113-254``): instead of one
+OptiX thread per pixel running a serial spp loop around a serial bounce loop,
+a chunk of pixels traces in lockstep -- a scan over samples around a scan over
+bounces, each bounce a batch of masked tensor ops (intersect -> classify ->
+shade -> Russian roulette).  Dead lanes are masked, not compacted, inside a
+chunk; compaction happens at the chunk granularity in the film layer.
+
+Parity semantics reproduced exactly (SURVEY.md 3.3):
+* miss -> env radiance (map | auto sky | const color) x intensity, terminate
+  (device.cu:136-148);
+* emissive hit -> radiance = scalar emission (monochrome!), terminate, **no
+  light sampling** (device.cu:157-161);
+* pdf < 1e-5 -> kill with zero contribution (device.cu:193);
+* NaN/Inf f -> retry the bounce without advancing depth (device.cu:196-201;
+  here a retry consumes one of the max_path_depth scan steps -- identical
+  unless a ray NaNs close to the depth limit);
+* inverted Russian roulette without 1/q compensation, skipped for the glass
+  lobe, active only at depth > 3 (device.cu:209-214);
+* per-pixel LCG stream: seeded from pixel coords only, continuous across spp
+  (device.cu:226-229).
+
+The NEE/MIS path (settings.use_nee) is the promoted-to-live version of the
+reference's dead lights.hpp machinery -- see models/lights.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import RenderSettings, Scene
+from ..ops import disney
+from ..ops import math as m
+from ..ops import rng as rng_mod
+from ..ops import texture as tex
+from ..ops.intersect import HitRecord, closest_hit_brute
+
+
+class PathState(NamedTuple):
+    ray_o: jnp.ndarray  # [N,3]
+    ray_d: jnp.ndarray  # [N,3]
+    result: jnp.ndarray  # [N,3] final radiance*throughput once terminated
+    throughput: jnp.ndarray  # [N,3]
+    rng: jnp.ndarray  # [N] uint32
+    alive: jnp.ndarray  # [N] bool
+    prev_lobe: jnp.ndarray  # [N] i32 (across-bounce, device.cu:127)
+    depth: jnp.ndarray  # [N] i32 logical depth (tracks NaN retries)
+
+
+def make_brute_intersector(scene: Scene, tri_chunk: int = 512) -> Callable:
+    def intersect(ray_o, ray_d):
+        return closest_hit_brute(
+            ray_o, ray_d, scene.vertices, scene.tri_idx, tri_chunk=tri_chunk
+        )
+
+    return intersect
+
+
+def _environment_radiance(scene: Scene, settings: RenderSettings, ray_d):
+    """Miss shading -- device.cu:136-148 (static branch on settings)."""
+    if settings.environment_use and scene.env_map.shape[0] > 1:
+        env = tex.sample_environment(scene.env_map, ray_d)
+    elif settings.environment_auto:
+        env = tex.sky_gradient(ray_d)
+    else:
+        env = jnp.broadcast_to(
+            jnp.asarray(settings.environment_color, jnp.float32),
+            ray_d.shape[:-1] + (3,),
+        )
+    return env * settings.environment_intensity
+
+
+def _fetch_surface(scene: Scene, hit: HitRecord, enable_textures: bool):
+    """Geometry + material fetch at hit points -- device.cu:150-173."""
+    tri = jnp.maximum(hit.tri, 0)
+    i0 = scene.tri_idx[tri, 0]
+    i1 = scene.tri_idx[tri, 1]
+    i2 = scene.tri_idx[tri, 2]
+    u = hit.uv[..., 0:1]
+    v = hit.uv[..., 1:2]
+    w = 1.0 - u - v
+
+    p0 = scene.vertices[i0]
+    p1 = scene.vertices[i1]
+    p2 = scene.vertices[i2]
+    pos = w * p0 + u * p1 + v * p2
+    geo_n = jnp.cross(p1 - p0, p2 - p0)
+    geo_n = geo_n / jnp.sqrt(jnp.maximum(m.dot(geo_n, geo_n), 1e-20))[..., None]
+
+    n0 = scene.normals[i0]
+    n1 = scene.normals[i1]
+    n2 = scene.normals[i2]
+    sh_n = w * n0 + u * n1 + v * n2
+    sh_n = sh_n / jnp.sqrt(jnp.maximum(m.dot(sh_n, sh_n), 1e-20))[..., None]
+
+    mat_id = scene.tri_mat[tri]
+    mat = scene.materials.gather(mat_id)
+
+    if enable_textures:
+        t0 = scene.texcoords[i0]
+        t1 = scene.texcoords[i1]
+        t2 = scene.texcoords[i2]
+        tc = w * t0 + u * t1 + v * t2
+        tex_id = scene.mat_tex[mat_id]
+        tex_color = tex.sample_atlas_nearest(scene.textures, tex_id, tc)
+        base = jnp.where((tex_id >= 0)[..., None], tex_color, mat.base_color)
+        mat = mat._replace(base_color=base)
+
+    return pos, geo_n, sh_n, mat, mat_id
+
+
+def trace_bounce(
+    scene: Scene,
+    settings: RenderSettings,
+    state: PathState,
+    intersect_fn: Callable,
+    enable_textures: bool,
+) -> PathState:
+    """One wavefront bounce -- the body of the reference's depth loop."""
+    hit = intersect_fn(state.ray_o, state.ray_d)
+
+    # miss -> environment, terminate (device.cu:136-148)
+    miss = state.alive & ~hit.hit
+    env = _environment_radiance(scene, settings, state.ray_d)
+    result = jnp.where(miss[..., None], env * state.throughput, state.result)
+    alive = state.alive & hit.hit
+
+    pos, _geo_n, sh_n, mat, _mat_id = _fetch_surface(scene, hit, enable_textures)
+
+    # emissive -> monochrome radiance, terminate (device.cu:157-161)
+    emissive = alive & (mat.emission > 0.0)
+    result = jnp.where(
+        emissive[..., None], mat.emission[..., None] * state.throughput, result
+    )
+    alive = alive & ~emissive
+
+    # local frame + BSDF sample (device.cu:176-190)
+    wo = -state.ray_d
+    t_b, b_b = m.onb(sh_n)
+    local_wo = m.to_local(t_b, b_b, sh_n, wo)
+    bs = disney.sample(mat, local_wo, state.rng, state.prev_lobe)
+    rng_state = jnp.where(alive, bs.state, state.rng)
+    wi_world = m.to_world(t_b, b_b, sh_n, bs.wi)
+
+    # degenerate pdf -> kill with zero contribution (device.cu:193)
+    alive = alive & ~(bs.pdf < 1e-5)
+
+    # NaN/Inf f -> retry bounce (device.cu:196-201)
+    bad_f = ~jnp.isfinite(bs.f).all(axis=-1)
+    ok = alive & ~bad_f
+
+    cos_i = jnp.abs(m.cos_theta(bs.wi))
+    thr_new = state.throughput * bs.f * (cos_i / bs.pdf)[..., None]
+    throughput = jnp.where(ok[..., None], thr_new, state.throughput)
+    ray_o = jnp.where(ok[..., None], pos, state.ray_o)
+    ray_d = jnp.where(ok[..., None], wi_world, state.ray_d)
+    prev_lobe = jnp.where(ok, bs.lobe, state.prev_lobe)
+
+    # inverted RR, no 1/q compensation, glass-exempt (device.cu:209-214)
+    beta_max = jnp.max(throughput, axis=-1)
+    rr_active = ok & (bs.lobe != disney.LOBE_GLASS) & (state.depth > settings.rr_start_depth)
+    q = jnp.maximum(0.05, 1.0 - beta_max)
+    rr_draw, rr_state = rng_mod.next_f32(rng_state)
+    rng_state = jnp.where(rr_active, rr_state, rng_state)
+    alive = alive & ~(rr_active & (rr_draw > q))
+
+    depth = jnp.where(ok, state.depth + 1, state.depth)
+
+    return PathState(
+        ray_o=ray_o,
+        ray_d=ray_d,
+        result=result,
+        throughput=throughput,
+        rng=rng_state,
+        alive=alive,
+        prev_lobe=prev_lobe,
+        depth=depth,
+    )
+
+
+def trace_paths(
+    scene: Scene,
+    settings: RenderSettings,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    rng_state: jnp.ndarray,
+    intersect_fn: Callable,
+    enable_textures: bool,
+):
+    """Trace a wavefront to termination; returns (radiance [N,3], rng')."""
+    n = ray_o.shape[0]
+    init = PathState(
+        ray_o=ray_o,
+        ray_d=ray_d,
+        result=jnp.zeros((n, 3), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        rng=rng_state,
+        alive=jnp.ones((n,), bool),
+        prev_lobe=jnp.full((n,), disney.LOBE_NONE, jnp.int32),
+        depth=jnp.zeros((n,), jnp.int32),
+    )
+
+    def body(st, _):
+        return trace_bounce(scene, settings, st, intersect_fn, enable_textures), None
+
+    final, _ = jax.lax.scan(body, init, None, length=settings.max_path_depth)
+    return final.result, final.rng
+
+
+def sample_sum(
+    scene: Scene,
+    settings: RenderSettings,
+    pixel_xy: jnp.ndarray,
+    rng_state: jnp.ndarray,
+    num_samples: int,
+    intersect_fn: Callable,
+    enable_textures: bool,
+):
+    """Accumulate ``num_samples`` per pixel -- the reference ray_gen spp loop
+    (device.cu:229-244), resumable: the carried RNG state keeps the per-pixel
+    LCG stream continuous across calls (the checkpoint/progressive API the
+    reference lacks, SURVEY.md section 5).
+
+    Returns (radiance sum [N,3], advanced rng state [N]).
+    """
+    fb = (settings.width, settings.height)
+
+    def sample_body(carry, _):
+        st, acc = carry
+        j0, st = rng_mod.next_f32(st)
+        j1, st = rng_mod.next_f32(st)
+        jitter = jnp.stack([j0, j1], axis=-1)
+        from ..models.camera import primary_rays
+
+        o, d = primary_rays(scene.camera, pixel_xy, jitter, fb)
+        radiance, st = trace_paths(
+            scene, settings, o, d, st, intersect_fn, enable_textures
+        )
+        return (st, acc + radiance), None
+
+    (rng_out, acc), _ = jax.lax.scan(
+        sample_body,
+        (rng_state, jnp.zeros(pixel_xy.shape[:-1] + (3,), jnp.float32)),
+        None,
+        length=num_samples,
+    )
+    return acc, rng_out
+
+
+def render_pixels(
+    scene: Scene,
+    settings: RenderSettings,
+    pixel_xy: jnp.ndarray,
+    intersect_fn: Callable,
+    enable_textures: bool,
+    num_samples: int | None = None,
+):
+    """Render a chunk of pixels -- the reference ray_gen (device.cu:220-248).
+
+    pixel_xy [N,2] i32 in reference launch coordinates (y=0 bottom row after
+    the store flip).  Returns linear color [N,3] (spp-averaged, no gamma --
+    gamma was commented out, device.cu:248).
+    """
+    spp = settings.max_samples if num_samples is None else num_samples
+    state0 = rng_mod.seed(pixel_xy[..., 0], pixel_xy[..., 1])
+    acc, _ = sample_sum(
+        scene, settings, pixel_xy, state0, spp, intersect_fn, enable_textures
+    )
+    return acc / float(spp)
