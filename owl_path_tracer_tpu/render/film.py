@@ -55,11 +55,26 @@ def new_film(settings: RenderSettings) -> Film:
 
 
 @partial(jax.jit, static_argnames=("settings", "num_samples", "enable_textures", "tri_chunk"))
-def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk):
-    intersect_fn = integrator.make_brute_intersector(scene, tri_chunk=tri_chunk)
+def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, bvh):
+    if bvh is not None:
+        from ..ops.traverse import make_bvh_intersector
+
+        intersect_fn = make_bvh_intersector(bvh)
+    else:
+        intersect_fn = integrator.make_brute_intersector(scene, tri_chunk=tri_chunk)
     return integrator.sample_sum(
         scene, settings, pixel_xy, rng_state, num_samples, intersect_fn, enable_textures
     )
+
+
+def build_scene_bvh(scene: Scene):
+    """Build (cached) + upload the scene's BVH -- ops/bvh.py, ops/traverse.py."""
+    from ..ops.bvh import build_bvh_cached
+    from ..ops.traverse import device_bvh
+
+    verts = np.asarray(scene.vertices)
+    tris = np.asarray(scene.tri_idx)
+    return device_bvh(build_bvh_cached(verts, tris), verts, tris)
 
 
 def scene_has_textures(scene: Scene) -> bool:
@@ -73,6 +88,7 @@ def add_samples(
     num_samples: int,
     pixel_chunk: int = 65536,
     tri_chunk: int = 512,
+    bvh=None,
 ) -> Film:
     """Accumulate ``num_samples`` more spp into the film (pixel-chunked)."""
     enable_textures = scene_has_textures(scene)
@@ -96,6 +112,7 @@ def add_samples(
             num_samples,
             enable_textures,
             tri_chunk,
+            bvh,
         )
         s = np.asarray(s)[: hi - lo]
         r = np.asarray(r)[: hi - lo]
@@ -116,8 +133,12 @@ def render_image(
     spp: Optional[int] = None,
     pixel_chunk: int = 65536,
     tri_chunk: int = 512,
+    bvh=None,
+    use_bvh: bool = False,
 ) -> np.ndarray:
     """One-shot full-frame render -> linear f32 [H,W,3] (top row first)."""
+    if bvh is None and use_bvh:
+        bvh = build_scene_bvh(scene)
     film = new_film(settings)
     film = add_samples(
         scene,
@@ -126,6 +147,7 @@ def render_image(
         settings.max_samples if spp is None else spp,
         pixel_chunk=pixel_chunk,
         tri_chunk=tri_chunk,
+        bvh=bvh,
     )
     return finalize(film)
 
