@@ -8,3 +8,23 @@ and traversal (no RT cores here), end-to-end differentiability, progressive
 checkpointed rendering, and multi-chip sharding over a ``jax.sharding.Mesh``.
 """
 from .version import __version__  # noqa: F401
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: renders recompile across processes
+    otherwise (first dragon compile is ~80s on the TPU tunnel)."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "OWLPT_COMPILE_CACHE", os.path.expanduser("~/.cache/owlpt_xla")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -1,0 +1,292 @@
+"""Cluster (ray-stream) intersector -- the TPU-native traversal design.
+
+Per-ray stack traversal (ops/traverse.py) is how GPUs with RT cores think; on
+a TPU it degenerates into pointer-chasing gathers and [N,stack] masked writes
+that run ~500x below target.  This module restructures intersection into the
+shape the hardware wants -- dense, regular, batched:
+
+  * the SAH BVH's leaves (ops/bvh.py, built with max_leaf=C) become fixed-size
+    **triangle clusters**: [K, C] pre-gathered, padded SoA in HBM;
+  * **phase A** tests every ray against every cluster AABB -- one dense
+    [N, K] slab test, pure VPU work, no control flow;
+  * **phase B** repeatedly takes each ray's nearest untested cluster
+    (masked argmin over [N, K]) and intersects its C triangles densely --
+    a [N, C] Moller-Trumbore batch per step, with exact closest-hit early
+    exit (a ray stops once its best t is closer than its next cluster entry).
+
+Everything is fixed-shape tensor math inside a short ``while_loop`` whose trip
+count is the wavefront's *maximum* cluster count (typically 2-6), not a
+per-ray tree walk.  Semantics are identical to ops/intersect.py and are tested
+against it.  This is the same capability as the reference's OptiX hardware
+traversal (owl::traceRay, device.cu:133), re-derived for a vector machine.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import math as m
+from .bvh import build_bvh
+from .intersect import HitRecord
+
+_EPS_DET = 1e-12
+
+
+class ClusterBVH(NamedTuple):
+    cmin: jnp.ndarray  # [K,3] cluster AABB min (K padded to 128; pads empty)
+    cmax: jnp.ndarray  # [K,3]
+    tri_p0: jnp.ndarray  # [K,C,3]
+    tri_e1: jnp.ndarray  # [K,C,3]
+    tri_e2: jnp.ndarray  # [K,C,3]
+    tri_id: jnp.ndarray  # [K,C] original tri ids, -1 = padding
+    tri_blob: jnp.ndarray  # [K, C*9] fused (p0,e1,e2) rows -- one gather/step
+
+    @property
+    def num_clusters(self) -> int:
+        return self.cmin.shape[0]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.tri_p0.shape[1]
+
+
+def build_clusters(vertices: np.ndarray, tri_idx: np.ndarray, cluster_size: int = 128) -> ClusterBVH:
+    """SAH-build with max_leaf=cluster_size; each leaf becomes one cluster."""
+    vertices = np.asarray(vertices, np.float32)
+    tri_idx = np.asarray(tri_idx, np.int32)
+    bvh = build_bvh(vertices, tri_idx, max_leaf=cluster_size)
+    leaf = bvh.node_b < 0
+    leaves = np.nonzero(leaf)[0]
+    k = len(leaves)
+    c = cluster_size
+    cmin = bvh.node_min[leaves]
+    cmax = bvh.node_max[leaves]
+    p0 = np.zeros((k, c, 3), np.float32)
+    e1 = np.zeros((k, c, 3), np.float32)
+    e2 = np.zeros((k, c, 3), np.float32)
+    tid = np.full((k, c), -1, np.int32)
+    v = vertices
+    for j, n in enumerate(leaves):
+        start, cnt = bvh.node_a[n], -bvh.node_b[n]
+        ids = bvh.tri_order[start : start + cnt]
+        t = tri_idx[ids]
+        a = v[t[:, 0]]
+        p0[j, :cnt] = a
+        e1[j, :cnt] = v[t[:, 1]] - a
+        e2[j, :cnt] = v[t[:, 2]] - a
+        tid[j, :cnt] = ids
+
+    # pad K to a multiple of 128 (TPU lane width) with never-hit boxes
+    k_pad = (-k) % 128
+    if k_pad:
+        inf = np.float32(3e37)
+        cmin = np.concatenate([cmin, np.full((k_pad, 3), inf, np.float32)])
+        cmax = np.concatenate([cmax, np.full((k_pad, 3), -inf, np.float32)])
+        p0 = np.concatenate([p0, np.zeros((k_pad, c, 3), np.float32)])
+        e1 = np.concatenate([e1, np.zeros((k_pad, c, 3), np.float32)])
+        e2 = np.concatenate([e2, np.zeros((k_pad, c, 3), np.float32)])
+        tid = np.concatenate([tid, np.full((k_pad, c), -1, np.int32)])
+
+    blob = np.concatenate([p0, e1, e2], axis=2).reshape(len(p0), c * 9)
+    return ClusterBVH(
+        cmin=jnp.asarray(cmin),
+        cmax=jnp.asarray(cmax),
+        tri_p0=jnp.asarray(p0),
+        tri_e1=jnp.asarray(e1),
+        tri_e2=jnp.asarray(e2),
+        tri_id=jnp.asarray(tid),
+        tri_blob=jnp.asarray(blob),
+    )
+
+
+def _cluster_entries(ray_o, ray_d, cb: ClusterBVH, t_min, t_max):
+    """Dense [N,K] slab test -> entry distance (+inf where missed).
+
+    Layout-aware: per-axis rank-1 expressions (``inv[:,None]*bmin[None,:]``)
+    keep every intermediate [N,K] with K in the 128-lane minor dimension --
+    never a [N,K,3] array with a 3-wide minor axis (which cost 10x in HBM
+    traffic when this was written the naive way).
+    """
+    inv_d = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-12, jnp.where(ray_d < 0, -1e-12, 1e-12), ray_d)
+    oi = ray_o * inv_d  # [N,3]
+    tn = jnp.full((ray_o.shape[0], cb.cmin.shape[0]), -jnp.inf, jnp.float32)
+    tf = jnp.full_like(tn, jnp.inf)
+    for a in range(3):
+        t0 = inv_d[:, a:a + 1] * cb.cmin[None, :, a] - oi[:, a:a + 1]  # [N,K]
+        t1 = inv_d[:, a:a + 1] * cb.cmax[None, :, a] - oi[:, a:a + 1]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    t_enter = jnp.maximum(tn, t_min)
+    t_far = t_max[:, None] if jnp.ndim(t_max) == 1 else t_max  # per-ray shadow t_max
+    hit = t_enter <= jnp.minimum(tf, t_far)
+    return jnp.where(hit, t_enter, jnp.inf)
+
+
+def _intersect_cluster(ray_o, ray_d, cb: ClusterBVH, cid, t_min, best_t):
+    """Dense [N,C] MT test of each ray against its chosen cluster.
+
+    Triangle data arrives via ONE blob gather ([N, C*9], 36*C contiguous
+    bytes per ray) -- large-slice gathers are the efficient shape on TPU.
+    """
+    n = ray_o.shape[0]
+    c = cb.cluster_size
+    blob = cb.tri_blob[cid].reshape(n, c, 9)  # [N,C,9]
+    p0 = blob[..., 0:3]
+    e1 = blob[..., 3:6]
+    e2 = blob[..., 6:9]
+    tid = cb.tri_id[cid]  # [N,C]
+
+    d = ray_d[:, None, :]
+    o = ray_o[:, None, :]
+    h = jnp.cross(d, e2)
+    det = jnp.sum(e1 * h, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < _EPS_DET, 1.0, det)
+    s = o - p0
+    u = inv * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = inv * jnp.sum(d * q, axis=-1)
+    t = inv * jnp.sum(e2 * q, axis=-1)
+    ok = (
+        (tid >= 0)
+        & (jnp.abs(det) >= _EPS_DET)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < best_t[:, None])
+    )
+    t = jnp.where(ok, t, jnp.inf)
+    j = jnp.argmin(t, axis=-1)
+    rows = jnp.arange(n)
+    tj = t[rows, j]
+    hit = jnp.isfinite(tj)
+    return tj, jnp.where(hit, tid[rows, j], -1), jnp.stack([u[rows, j], v[rows, j]], -1), hit
+
+
+MAX_CANDIDATES = 24
+
+
+@partial(jax.jit, static_argnames=("any_hit", "max_candidates"))
+def cluster_closest_hit(
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    cb: ClusterBVH,
+    t_min: float = m.T_MIN,
+    t_max: float = m.T_MAX,
+    any_hit: bool = False,
+    max_candidates: int = MAX_CANDIDATES,
+) -> HitRecord:
+    """Exact closest hit (or first hit with ``any_hit``).
+
+    Phase A produces each ray's near-to-far candidate-cluster list ONCE via
+    ``top_k`` (no [N,K] work inside the hot loop); phase B walks the lists in
+    lockstep with early exit: a ray stops as soon as its best t is closer
+    than its next cluster entry.  Rays that exhaust their ``max_candidates``
+    list while still unresolved continue in an exact argmin-over-[N,K]
+    fallback loop -- which compiles to nothing at runtime when (as in real
+    scenes) no ray overflows.
+    """
+    n = ray_o.shape[0]
+    kc = min(max_candidates, cb.num_clusters)
+    entries = _cluster_entries(ray_o, ray_d, cb, t_min, t_max)  # [N,K]
+    # nearest kc clusters, ascending entry distance
+    neg_top, top_idx = jax.lax.top_k(-entries, kc)  # [N,kc]
+    cand_t = -neg_top
+
+    if jnp.ndim(t_max) == 0:
+        best0 = jnp.full((n,), t_max, jnp.float32)
+    else:
+        best0 = jnp.asarray(t_max, jnp.float32)
+
+    state = (
+        jnp.zeros((n,), jnp.int32),  # cursor into candidate list
+        best0,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n, 2), jnp.float32),
+    )
+    rows = jnp.arange(n)
+
+    def active_mask(cursor, best_t, best_tri):
+        cur_t = cand_t[rows, jnp.minimum(cursor, kc - 1)]
+        in_range = (cursor < kc) & jnp.isfinite(cur_t)
+        if any_hit:
+            return in_range & (best_tri < 0)
+        return in_range & (cur_t < best_t)
+
+    def cond(state):
+        cursor, best_t, best_tri, _ = state
+        return jnp.any(active_mask(cursor, best_t, best_tri))
+
+    def body(state):
+        cursor, best_t, best_tri, best_uv = state
+        active = active_mask(cursor, best_t, best_tri)
+        cid = top_idx[rows, jnp.minimum(cursor, kc - 1)]
+        cid_safe = jnp.where(active, cid, 0)
+        lt, ltri, luv, lhit = _intersect_cluster(ray_o, ray_d, cb, cid_safe, t_min, best_t)
+        better = active & lhit & (lt < best_t)
+        best_t = jnp.where(better, lt, best_t)
+        best_tri = jnp.where(better, ltri, best_tri)
+        best_uv = jnp.where(better[:, None], luv, best_uv)
+        cursor = jnp.where(active, cursor + 1, cursor)
+        return (cursor, best_t, best_tri, best_uv)
+
+    cursor, best_t, best_tri, best_uv = jax.lax.while_loop(cond, body, state)
+
+    # ── exact overflow continuation (rare; skipped entirely when unneeded) ──
+    last_t = cand_t[rows, kc - 1]
+    if any_hit:
+        overflow = (cursor >= kc) & jnp.isfinite(last_t) & (best_tri < 0)
+    else:
+        overflow = (cursor >= kc) & jnp.isfinite(last_t) & (last_t < best_t)
+
+    def run_overflow(args):
+        best_t, best_tri, best_uv = args
+        # retire the clusters already visited via the candidate lists
+        ent = entries.at[rows[:, None], top_idx].set(jnp.inf)
+
+        def need2(ent, best_t, best_tri):
+            nearest = ent.min(axis=-1)
+            if any_hit:
+                return jnp.isfinite(nearest) & (best_tri < 0)
+            return nearest < best_t
+
+        def cond2(st):
+            ent, best_t, best_tri, _ = st
+            return jnp.any(need2(ent, best_t, best_tri))
+
+        def body2(st):
+            ent, best_t, best_tri, best_uv = st
+            active = need2(ent, best_t, best_tri)
+            cid = jnp.argmin(ent, axis=-1)
+            ent = ent.at[rows, cid].set(jnp.inf)
+            cid_safe = jnp.where(active, cid, 0)
+            lt, ltri, luv, lhit = _intersect_cluster(ray_o, ray_d, cb, cid_safe, t_min, best_t)
+            better = active & lhit & (lt < best_t)
+            best_t = jnp.where(better, lt, best_t)
+            best_tri = jnp.where(better, ltri, best_tri)
+            best_uv = jnp.where(better[:, None], luv, best_uv)
+            return (ent, best_t, best_tri, best_uv)
+
+        _, bt, btri, buv = jax.lax.while_loop(cond2, body2, (ent, best_t, best_tri, best_uv))
+        return bt, btri, buv
+
+    best_t, best_tri, best_uv = jax.lax.cond(
+        jnp.any(overflow), run_overflow, lambda a: a, (best_t, best_tri, best_uv)
+    )
+    return HitRecord(t=best_t, tri=best_tri, uv=best_uv)
+
+
+def make_cluster_intersector(cb: ClusterBVH):
+    def intersect(ray_o, ray_d):
+        return cluster_closest_hit(ray_o, ray_d, cb)
+
+    return intersect
+
+
+def cluster_occluded(ray_o, ray_d, cb: ClusterBVH, t_min=m.T_MIN, t_max=m.T_MAX):
+    rec = cluster_closest_hit(ray_o, ray_d, cb, t_min=t_min, t_max=t_max, any_hit=True)
+    return rec.tri >= 0

@@ -34,6 +34,7 @@ class Film:
     spp_done: int
     width: int
     height: int
+    rays_traced: int = 0  # live rays through the intersector (perf metric)
 
 
 def _pixel_grid(width: int, height: int) -> np.ndarray:
@@ -55,26 +56,58 @@ def new_film(settings: RenderSettings) -> Film:
 
 
 @partial(jax.jit, static_argnames=("settings", "num_samples", "enable_textures", "tri_chunk"))
-def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, bvh):
-    if bvh is not None:
-        from ..ops.traverse import make_bvh_intersector
+def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, accel, lights):
+    from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
+    from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
 
-        intersect_fn = make_bvh_intersector(bvh)
+    if isinstance(accel, ClusterBVH):
+        intersect_fn = make_cluster_intersector(accel)
+
+        def occlude_fn(pos, direction, max_dist):
+            return cluster_occluded(pos, direction, accel, t_max=max_dist)
+
+    elif isinstance(accel, DeviceBVH):
+        intersect_fn = make_bvh_intersector(accel)
+
+        def occlude_fn(pos, direction, max_dist):
+            return bvh_occluded(pos, direction, accel, t_max=max_dist)
+
     else:
         intersect_fn = integrator.make_brute_intersector(scene, tri_chunk=tri_chunk)
+        occlude_fn = integrator.make_brute_occluder(scene, tri_chunk=tri_chunk)
     return integrator.sample_sum(
-        scene, settings, pixel_xy, rng_state, num_samples, intersect_fn, enable_textures
+        scene, settings, pixel_xy, rng_state, num_samples, intersect_fn, enable_textures,
+        lights=lights, occlude_fn=occlude_fn,
     )
 
 
 def build_scene_bvh(scene: Scene):
-    """Build (cached) + upload the scene's BVH -- ops/bvh.py, ops/traverse.py."""
+    """Build (cached) + upload the per-ray-stack BVH (ops/traverse.py)."""
     from ..ops.bvh import build_bvh_cached
     from ..ops.traverse import device_bvh
 
     verts = np.asarray(scene.vertices)
     tris = np.asarray(scene.tri_idx)
     return device_bvh(build_bvh_cached(verts, tris), verts, tris)
+
+
+def make_accel(scene: Scene, kind: str = "cluster", cluster_size: int = 128):
+    """Build the acceleration structure for rendering.
+
+    ``cluster`` (default) is the TPU-native ray-stream intersector
+    (ops/cluster.py); ``bvh`` is the per-ray-stack traversal; ``brute``
+    returns None (dense sweep, exact reference for tests)."""
+    if kind == "cluster":
+        from ..ops.cluster import build_clusters
+
+        return build_clusters(
+            np.asarray(scene.vertices), np.asarray(scene.tri_idx), cluster_size=cluster_size
+        )
+    if kind == "bvh":
+        return build_scene_bvh(scene)
+    if kind == "brute":
+        return None
+    raise ValueError(f"unknown intersector kind {kind!r}")
 
 
 def scene_has_textures(scene: Scene) -> bool:
@@ -88,23 +121,29 @@ def add_samples(
     num_samples: int,
     pixel_chunk: int = 65536,
     tri_chunk: int = 512,
-    bvh=None,
+    accel=None,
 ) -> Film:
     """Accumulate ``num_samples`` more spp into the film (pixel-chunked)."""
     enable_textures = scene_has_textures(scene)
+    lights = None
+    if settings.use_nee:
+        from ..models.lights import build_light_table
+
+        lights = build_light_table(scene)
     px = _pixel_grid(film.width, film.height)
     total = px.shape[0]
     acc = film.acc.copy()
     state = film.rng.copy()
     # pad to a whole number of chunks so one compiled program serves all chunks
     n_chunks = -(-total // pixel_chunk)
+    rays_traced = film.rays_traced
     for c in range(n_chunks):
         lo = c * pixel_chunk
         hi = min(lo + pixel_chunk, total)
         idx = np.arange(lo, hi)
         if hi - lo < pixel_chunk:  # pad final chunk
             idx = np.concatenate([idx, np.full(pixel_chunk - (hi - lo), total - 1)])
-        s, r = _sample_sum_jit(
+        s, r, rays = _sample_sum_jit(
             scene,
             settings,
             jnp.asarray(px[idx]),
@@ -112,13 +151,18 @@ def add_samples(
             num_samples,
             enable_textures,
             tri_chunk,
-            bvh,
+            accel,
+            lights,
         )
         s = np.asarray(s)[: hi - lo]
         r = np.asarray(r)[: hi - lo]
         acc[lo:hi] += s
         state[lo:hi] = r
-    return Film(acc=acc, rng=state, spp_done=film.spp_done + num_samples, width=film.width, height=film.height)
+        rays_traced += int(np.asarray(rays, np.int64).sum())
+    return Film(
+        acc=acc, rng=state, spp_done=film.spp_done + num_samples,
+        width=film.width, height=film.height, rays_traced=rays_traced,
+    )
 
 
 def finalize(film: Film) -> np.ndarray:
@@ -133,12 +177,15 @@ def render_image(
     spp: Optional[int] = None,
     pixel_chunk: int = 65536,
     tri_chunk: int = 512,
-    bvh=None,
-    use_bvh: bool = False,
+    accel=None,
+    intersector: Optional[str] = None,
+    bvh=None,  # back-compat alias for accel
 ) -> np.ndarray:
     """One-shot full-frame render -> linear f32 [H,W,3] (top row first)."""
-    if bvh is None and use_bvh:
-        bvh = build_scene_bvh(scene)
+    if accel is None and bvh is not None:
+        accel = bvh
+    if accel is None and intersector is not None:
+        accel = make_accel(scene, intersector)
     film = new_film(settings)
     film = add_samples(
         scene,
@@ -147,7 +194,7 @@ def render_image(
         settings.max_samples if spp is None else spp,
         pixel_chunk=pixel_chunk,
         tri_chunk=tri_chunk,
-        bvh=bvh,
+        accel=accel,
     )
     return finalize(film)
 

@@ -50,6 +50,7 @@ class PathState(NamedTuple):
     alive: jnp.ndarray  # [N] bool
     prev_lobe: jnp.ndarray  # [N] i32 (across-bounce, device.cu:127)
     depth: jnp.ndarray  # [N] i32 logical depth (tracks NaN retries)
+    prev_pdf: jnp.ndarray  # [N] mixture pdf of the spawning BSDF sample (MIS)
 
 
 def make_brute_intersector(scene: Scene, tri_chunk: int = 512) -> Callable:
@@ -180,6 +181,123 @@ def trace_bounce(
         alive=alive,
         prev_lobe=prev_lobe,
         depth=depth,
+        prev_pdf=state.prev_pdf,
+    )
+
+
+def trace_bounce_nee(
+    scene: Scene,
+    settings: RenderSettings,
+    lights,
+    state: PathState,
+    intersect_fn: Callable,
+    occlude_fn: Callable,
+    enable_textures: bool,
+    allow_nee: jnp.ndarray | bool = True,
+) -> PathState:
+    """One bounce with next-event estimation + MIS.
+
+    The live version of the reference's dead lighting machinery
+    (lights.hpp:15-61 + visibiliy_test, device.cu:97-110): at every diffuse-ish
+    vertex a light point is sampled, shadow-tested, and combined with the BSDF
+    sample via the power heuristic.  Radiance accumulates additively (unlike
+    the parity integrator's terminal-only writes) and Russian roulette is the
+    standard compensated kind -- this mode is a better estimator of the same
+    transport, not a bit-parity one.
+    """
+    from ..models import lights as lights_mod
+
+    hit = intersect_fn(state.ray_o, state.ray_d)
+
+    # miss -> environment (no env importance sampling yet => weight 1)
+    miss = state.alive & ~hit.hit
+    env = _environment_radiance(scene, settings, state.ray_d)
+    result = state.result + jnp.where(miss[..., None], env * state.throughput, 0.0)
+    alive = state.alive & hit.hit
+
+    pos, _geo_n, sh_n, mat, _mat_id = _fetch_surface(scene, hit, enable_textures)
+
+    # emissive hit -> MIS-weighted emission, terminate (lights stay absorbing,
+    # matching the reference's terminate-at-light behavior)
+    emissive = alive & (mat.emission > 0.0)
+    pdf_l_hit = lights_mod.pdf_hit_light(lights, hit.tri, state.ray_d, hit.t, sh_n)
+    w_b = jnp.where(
+        (state.depth == 0) | (state.prev_pdf <= 0.0),
+        1.0,
+        lights_mod.power_heuristic(1.0, state.prev_pdf, 1.0, pdf_l_hit),
+    )
+    result = result + jnp.where(
+        emissive[..., None], (w_b * mat.emission)[..., None] * state.throughput, 0.0
+    )
+    alive = alive & ~emissive
+
+    wo = -state.ray_d
+    t_b, b_b = m.onb(sh_n)
+    local_wo = m.to_local(t_b, b_b, sh_n, wo)
+
+    # ── next-event estimation ──
+    rng_state = state.rng
+    if lights.count > 0:
+        u_l, states_l = rng_mod.next_f32_n(rng_state, 3)
+        rng_state = jnp.where(alive, states_l[-1], rng_state)
+        ls = lights_mod.sample_lights(lights, pos, jnp.stack([u_l[0], u_l[1], u_l[2]], -1))
+        wl_local = m.to_local(t_b, b_b, sh_n, ls.direction)
+        f_l, pdf_b_l = disney.eval_all(mat, local_wo, wl_local)
+        # the final scan iteration skips NEE so a depth-D render integrates
+        # exactly transport orders 1..D, same as the BSDF-only estimator
+        can_light = alive & (ls.pdf > 0.0) & (ls.emission > 0.0) & allow_nee
+        occluded = occlude_fn(pos, ls.direction, ls.distance - m.T_MIN)
+        w_l = lights_mod.power_heuristic(1.0, ls.pdf, 1.0, pdf_b_l)
+        contrib = (
+            f_l
+            * (jnp.abs(m.cos_theta(wl_local)) * ls.emission * w_l
+               / jnp.where(ls.pdf > 0.0, ls.pdf, 1.0))[..., None]
+        )
+        contrib = jnp.where((can_light & ~occluded)[..., None], contrib, 0.0)
+        result = result + state.throughput * jnp.nan_to_num(contrib, nan=0.0, posinf=0.0)
+
+    # ── BSDF sample (shared sampler; mixture pdf recorded for MIS) ──
+    bs = disney.sample(mat, local_wo, rng_state, state.prev_lobe)
+    rng_state = jnp.where(alive, bs.state, rng_state)
+    wi_world = m.to_world(t_b, b_b, sh_n, bs.wi)
+    _, pdf_mix = disney.eval_all(mat, local_wo, bs.wi)
+
+    alive = alive & ~(bs.pdf < 1e-5)
+    bad_f = ~jnp.isfinite(bs.f).all(axis=-1)
+    ok = alive & ~bad_f
+
+    cos_i = jnp.abs(m.cos_theta(bs.wi))
+    thr_new = state.throughput * bs.f * (cos_i / bs.pdf)[..., None]
+    throughput = jnp.where(ok[..., None], thr_new, state.throughput)
+    ray_o = jnp.where(ok[..., None], pos, state.ray_o)
+    ray_d = jnp.where(ok[..., None], wi_world, state.ray_d)
+    prev_lobe = jnp.where(ok, bs.lobe, state.prev_lobe)
+    prev_pdf = jnp.where(ok, pdf_mix, state.prev_pdf)
+
+    # standard compensated Russian roulette
+    beta_max = jnp.max(throughput, axis=-1)
+    rr_active = ok & (state.depth > settings.rr_start_depth)
+    q = jnp.clip(beta_max, 0.05, 1.0)
+    rr_draw, rr_state = rng_mod.next_f32(rng_state)
+    rng_state = jnp.where(rr_active, rr_state, rng_state)
+    survive = ~rr_active | (rr_draw < q)
+    throughput = jnp.where(
+        (rr_active & survive)[..., None], throughput / q[..., None], throughput
+    )
+    alive = alive & survive
+
+    depth = jnp.where(ok, state.depth + 1, state.depth)
+
+    return PathState(
+        ray_o=ray_o,
+        ray_d=ray_d,
+        result=result,
+        throughput=throughput,
+        rng=rng_state,
+        alive=alive,
+        prev_lobe=prev_lobe,
+        depth=depth,
+        prev_pdf=prev_pdf,
     )
 
 
@@ -191,6 +309,8 @@ def trace_paths(
     rng_state: jnp.ndarray,
     intersect_fn: Callable,
     enable_textures: bool,
+    lights=None,
+    occlude_fn: Callable | None = None,
 ):
     """Trace a wavefront to termination; returns (radiance [N,3], rng')."""
     n = ray_o.shape[0]
@@ -203,13 +323,28 @@ def trace_paths(
         alive=jnp.ones((n,), bool),
         prev_lobe=jnp.full((n,), disney.LOBE_NONE, jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
+        prev_pdf=jnp.zeros((n,), jnp.float32),
     )
 
-    def body(st, _):
-        return trace_bounce(scene, settings, st, intersect_fn, enable_textures), None
+    use_nee = settings.use_nee and lights is not None and occlude_fn is not None
 
-    final, _ = jax.lax.scan(body, init, None, length=settings.max_path_depth)
-    return final.result, final.rng
+    def body(carry, k):
+        st, rays = carry
+        rays = rays + jnp.sum(st.alive.astype(jnp.int32))
+        if use_nee:
+            nxt = trace_bounce_nee(
+                scene, settings, lights, st, intersect_fn, occlude_fn, enable_textures,
+                allow_nee=k < settings.max_path_depth - 1,
+            )
+        else:
+            nxt = trace_bounce(scene, settings, st, intersect_fn, enable_textures)
+        return (nxt, rays), None
+
+    (final, rays), _ = jax.lax.scan(
+        body, (init, jnp.int32(0)), jnp.arange(settings.max_path_depth),
+        length=settings.max_path_depth,
+    )
+    return final.result, final.rng, rays
 
 
 def sample_sum(
@@ -220,13 +355,15 @@ def sample_sum(
     num_samples: int,
     intersect_fn: Callable,
     enable_textures: bool,
+    lights=None,
+    occlude_fn: Callable | None = None,
 ):
     """Accumulate ``num_samples`` per pixel -- the reference ray_gen spp loop
     (device.cu:229-244), resumable: the carried RNG state keeps the per-pixel
     LCG stream continuous across calls (the checkpoint/progressive API the
     reference lacks, SURVEY.md section 5).
 
-    Returns (radiance sum [N,3], advanced rng state [N]).
+    Returns (radiance sum [N,3], advanced rng state [N], rays traced).
     """
     fb = (settings.width, settings.height)
 
@@ -238,18 +375,20 @@ def sample_sum(
         from ..models.camera import primary_rays
 
         o, d = primary_rays(scene.camera, pixel_xy, jitter, fb)
-        radiance, st = trace_paths(
-            scene, settings, o, d, st, intersect_fn, enable_textures
+        radiance, st, r = trace_paths(
+            scene, settings, o, d, st, intersect_fn, enable_textures,
+            lights=lights, occlude_fn=occlude_fn,
         )
-        return (st, acc + radiance), None
+        return (st, acc + radiance), r
 
-    (rng_out, acc), _ = jax.lax.scan(
+    (rng_out, acc), rays_per_sample = jax.lax.scan(
         sample_body,
         (rng_state, jnp.zeros(pixel_xy.shape[:-1] + (3,), jnp.float32)),
         None,
         length=num_samples,
     )
-    return acc, rng_out
+    # [num_samples] i32; summed in int64 on the host to avoid overflow
+    return acc, rng_out, rays_per_sample
 
 
 def render_pixels(
@@ -268,7 +407,18 @@ def render_pixels(
     """
     spp = settings.max_samples if num_samples is None else num_samples
     state0 = rng_mod.seed(pixel_xy[..., 0], pixel_xy[..., 1])
-    acc, _ = sample_sum(
+    acc, _, _ = sample_sum(
         scene, settings, pixel_xy, state0, spp, intersect_fn, enable_textures
     )
     return acc / float(spp)
+
+
+def make_brute_occluder(scene: Scene, tri_chunk: int = 512) -> Callable:
+    from ..ops.intersect import any_hit_brute
+
+    def occlude(pos, direction, max_dist):
+        return any_hit_brute(
+            pos, direction, scene.vertices, scene.tri_idx, t_max=max_dist, tri_chunk=tri_chunk
+        )
+
+    return occlude
