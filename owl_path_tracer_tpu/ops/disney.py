@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import math as m
@@ -414,16 +415,38 @@ def sample(mat, wo, state, prev_lobe) -> BsdfSample:
     sel_diff = ~force_btdf & (p > c2) & (p <= c3)
     sel_glass = ~(sel_metal | sel_cc | sel_diff)  # disney.cuh:59 (p_glass>=0 always true)
 
-    wi_m, f_m, pdf_m = sample_specular_brdf(mat, wo, u2)
-    wi_c, f_c, pdf_c = sample_clearcoat(mat, wo, u2)
-    wi_d, f_d, pdf_d = sample_diffuse(mat, wo, u2)
+    # Double-where input sanitization: each lobe runs on its selected lanes'
+    # real inputs and on benign constants elsewhere.  Unselected lanes'
+    # values are discarded by the pick below, but their *jacobians* are not:
+    # a 0-cotangent meeting an inf/NaN partial (e.g. d wh / d roughness at a
+    # degenerate sample) poisons material gradients as 0*inf=NaN.  Sanitized
+    # inputs keep every unselected partial finite.
+    def lobe_inputs(sel):
+        sm = jax.tree.map(
+            lambda v: jnp.where(sel[..., None] if v.ndim > sel.ndim else sel, v, 0.5), mat
+        )
+        sm = sm._replace(ior=jnp.where(sel, mat.ior, 1.5))
+        up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wo.dtype), wo.shape)
+        swo = jnp.where(sel[..., None], wo, up)
+        su = jnp.where(sel[..., None], u2, 0.25)
+        return sm, swo, su
+
+    mat_m, wo_m, u_m = lobe_inputs(sel_metal)
+    mat_c, wo_c, u_c = lobe_inputs(sel_cc)
+    mat_d, wo_d, u_d = lobe_inputs(sel_diff)
+    mat_g, wo_g, u_g = lobe_inputs(sel_glass)
+
+    wi_m, f_m, pdf_m = sample_specular_brdf(mat_m, wo_m, u_m)
+    wi_c, f_c, pdf_c = sample_clearcoat(mat_c, wo_c, u_c)
+    wi_d, f_d, pdf_d = sample_diffuse(mat_d, wo_d, u_d)
+    sg3 = sel_glass[..., None]
     wi_g, f_g, pdf_g, consumed_g = sample_glass(
-        mat,
-        wo,
-        u2,
-        u[3],
-        jnp.stack([u[3], u[4]], axis=-1),
-        jnp.stack([u[4], u[5]], axis=-1),
+        mat_g,
+        wo_g,
+        u_g,
+        jnp.where(sel_glass, u[3], 0.25),
+        jnp.where(sg3, jnp.stack([u[3], u[4]], axis=-1), 0.25),
+        jnp.where(sg3, jnp.stack([u[4], u[5]], axis=-1), 0.25),
     )
 
     def pick(vm, vc, vd, vg):
@@ -448,7 +471,19 @@ def sample(mat, wo, state, prev_lobe) -> BsdfSample:
     new_state = jnp.take_along_axis(states, (consumed - 1)[None, ...], axis=0)[0]
 
     f = f + eval_sheen(mat, wo, wi)
-    return BsdfSample(f=f, wi=wi, pdf=pdf, lobe=lobe, state=new_state)
+    # Detached-sampling adjoints (radiative-backprop style): the *sample* --
+    # direction, pdf, lobe choice, RNG stream -- is treated as a fixed
+    # measurement device; gradients flow only through the BSDF value f (and
+    # downstream emission/environment terms).  This is what makes the whole
+    # integrator differentiable w.r.t. material parameters without score
+    # terms (BASELINE.json north star; FD-validated in tests/test_diff.py).
+    return BsdfSample(
+        f=f,
+        wi=jax.lax.stop_gradient(wi),
+        pdf=jax.lax.stop_gradient(pdf),
+        lobe=lobe,
+        state=new_state,
+    )
 
 
 # ── combined eval for NEE/MIS (beyond-reference: its lights.hpp was dead) ──

@@ -156,7 +156,11 @@ def trace_bounce(
     ok = alive & ~bad_f
 
     cos_i = jnp.abs(m.cos_theta(bs.wi))
-    thr_new = state.throughput * bs.f * (cos_i / bs.pdf)[..., None]
+    # sanitize dead lanes *before* the division so their inf partials can't
+    # poison material gradients (0-cotangent x inf = NaN)
+    f_safe = jnp.where(ok[..., None], bs.f, 0.0)
+    pdf_safe = jnp.where(ok, bs.pdf, 1.0)
+    thr_new = state.throughput * f_safe * (cos_i / pdf_safe)[..., None]
     throughput = jnp.where(ok[..., None], thr_new, state.throughput)
     ray_o = jnp.where(ok[..., None], pos, state.ray_o)
     ray_d = jnp.where(ok[..., None], wi_world, state.ray_d)
@@ -267,17 +271,20 @@ def trace_bounce_nee(
     ok = alive & ~bad_f
 
     cos_i = jnp.abs(m.cos_theta(bs.wi))
-    thr_new = state.throughput * bs.f * (cos_i / bs.pdf)[..., None]
+    f_safe = jnp.where(ok[..., None], bs.f, 0.0)
+    pdf_safe = jnp.where(ok, bs.pdf, 1.0)
+    thr_new = state.throughput * f_safe * (cos_i / pdf_safe)[..., None]
     throughput = jnp.where(ok[..., None], thr_new, state.throughput)
     ray_o = jnp.where(ok[..., None], pos, state.ray_o)
     ray_d = jnp.where(ok[..., None], wi_world, state.ray_d)
     prev_lobe = jnp.where(ok, bs.lobe, state.prev_lobe)
     prev_pdf = jnp.where(ok, pdf_mix, state.prev_pdf)
 
-    # standard compensated Russian roulette
+    # standard compensated Russian roulette (survival prob detached so the
+    # 1/q compensation doesn't leak score-function terms into material grads)
     beta_max = jnp.max(throughput, axis=-1)
     rr_active = ok & (state.depth > settings.rr_start_depth)
-    q = jnp.clip(beta_max, 0.05, 1.0)
+    q = jax.lax.stop_gradient(jnp.clip(beta_max, 0.05, 1.0))
     rr_draw, rr_state = rng_mod.next_f32(rng_state)
     rng_state = jnp.where(rr_active, rr_state, rng_state)
     survive = ~rr_active | (rr_draw < q)
