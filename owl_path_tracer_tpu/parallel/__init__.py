@@ -1,0 +1,1 @@
+from . import shard  # noqa: F401
