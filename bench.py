@@ -1,0 +1,81 @@
+"""Benchmark: forward path-tracing throughput on the dragon stress scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+``value`` is live rays traced per second (primary + bounces actually alive at
+each wavefront step, counted on-device) on the BASELINE.json north-star
+config: dragon scene, 1024x1024, cluster intersector.  ``vs_baseline`` is the
+ratio against the 50 Mrays/s/chip target.
+
+Flags:  --size --spp --depth --scene --cluster-size --pixel-chunk --quick
+"""
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="dragon")
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--cluster-size", type=int, default=128)
+    ap.add_argument("--pixel-chunk", type=int, default=65536)
+    ap.add_argument("--quick", action="store_true", help="256^2, spp=2 smoke config")
+    args = ap.parse_args()
+    if args.quick:
+        args.size, args.spp = 256, 2
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "assets"))
+    import generate
+
+    generate.ensure_assets()
+
+    from owl_path_tracer_tpu.models.scene import RenderSettings, compile_scene
+    from owl_path_tracer_tpu.render import film as film_mod
+
+    scene = compile_scene("assets", args.scene, (args.size, args.size))
+    settings = RenderSettings(
+        width=args.size,
+        height=args.size,
+        max_samples=args.spp,
+        max_path_depth=args.depth,
+        environment_auto=True,
+        environment_intensity=1.0,
+    )
+    accel = film_mod.make_accel(scene, "cluster", cluster_size=args.cluster_size)
+
+    # warm-up/compile pass (tiny spp) so the measured pass is steady-state
+    warm = film_mod.new_film(settings)
+    warm = film_mod.add_samples(scene, settings, warm, 1, pixel_chunk=args.pixel_chunk, accel=accel)
+
+    film = film_mod.new_film(settings)
+    t0 = time.time()
+    film = film_mod.add_samples(
+        scene, settings, film, args.spp, pixel_chunk=args.pixel_chunk, accel=accel
+    )
+    dt = time.time() - t0
+    mrays = film.rays_traced / dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": f"fwd Mrays/s ({args.scene} {args.size}^2 spp={args.spp} depth={args.depth}, cluster intersector)",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 50.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
