@@ -56,7 +56,7 @@ def new_film(settings: RenderSettings) -> Film:
 
 
 @partial(jax.jit, static_argnames=("settings", "num_samples", "enable_textures", "tri_chunk"))
-def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, accel, lights):
+def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, accel, lights, env_light):
     from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
     from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
 
@@ -77,7 +77,7 @@ def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_te
         occlude_fn = integrator.make_brute_occluder(scene, tri_chunk=tri_chunk)
     return integrator.sample_sum(
         scene, settings, pixel_xy, rng_state, num_samples, intersect_fn, enable_textures,
-        lights=lights, occlude_fn=occlude_fn,
+        lights=lights, occlude_fn=occlude_fn, env_light=env_light,
     )
 
 
@@ -126,10 +126,16 @@ def add_samples(
     """Accumulate ``num_samples`` more spp into the film (pixel-chunked)."""
     enable_textures = scene_has_textures(scene)
     lights = None
+    env_light = None
     if settings.use_nee:
+        from ..models.envlight import build_env_light
         from ..models.lights import build_light_table
 
         lights = build_light_table(scene)
+        if settings.environment_use:
+            env_light = build_env_light(
+                np.asarray(scene.env_map), settings.environment_intensity
+            )
     px = _pixel_grid(film.width, film.height)
     total = px.shape[0]
     acc = film.acc.copy()
@@ -153,6 +159,7 @@ def add_samples(
             tri_chunk,
             accel,
             lights,
+            env_light,
         )
         s = np.asarray(s)[: hi - lo]
         r = np.asarray(r)[: hi - lo]

@@ -198,6 +198,7 @@ def trace_bounce_nee(
     occlude_fn: Callable,
     enable_textures: bool,
     allow_nee: jnp.ndarray | bool = True,
+    env_light=None,
 ) -> PathState:
     """One bounce with next-event estimation + MIS.
 
@@ -211,11 +212,26 @@ def trace_bounce_nee(
     """
     from ..models import lights as lights_mod
 
+    from ..models import envlight as envlight_mod
+
     hit = intersect_fn(state.ray_o, state.ray_d)
 
-    # miss -> environment (no env importance sampling yet => weight 1)
+    # miss -> environment; MIS-weighted against env importance sampling when
+    # an EnvLight is active (primary rays keep weight 1)
     miss = state.alive & ~hit.hit
-    env = _environment_radiance(scene, settings, state.ray_d)
+    if env_light is not None:
+        env = envlight_mod.env_radiance(env_light, state.ray_d)
+        pdf_e = envlight_mod.pdf_env_direction(env_light, state.ray_d)
+        from ..models import lights as _lm
+
+        w_env = jnp.where(
+            (state.depth == 0) | (state.prev_pdf <= 0.0),
+            1.0,
+            _lm.power_heuristic(1.0, state.prev_pdf, 1.0, pdf_e),
+        )
+        env = env * w_env[..., None]
+    else:
+        env = _environment_radiance(scene, settings, state.ray_d)
     result = state.result + jnp.where(miss[..., None], env * state.throughput, 0.0)
     alive = state.alive & hit.hit
 
@@ -224,12 +240,15 @@ def trace_bounce_nee(
     # emissive hit -> MIS-weighted emission, terminate (lights stay absorbing,
     # matching the reference's terminate-at-light behavior)
     emissive = alive & (mat.emission > 0.0)
-    pdf_l_hit = lights_mod.pdf_hit_light(lights, hit.tri, state.ray_d, hit.t, sh_n)
-    w_b = jnp.where(
-        (state.depth == 0) | (state.prev_pdf <= 0.0),
-        1.0,
-        lights_mod.power_heuristic(1.0, state.prev_pdf, 1.0, pdf_l_hit),
-    )
+    if lights is not None:
+        pdf_l_hit = lights_mod.pdf_hit_light(lights, hit.tri, state.ray_d, hit.t, sh_n)
+        w_b = jnp.where(
+            (state.depth == 0) | (state.prev_pdf <= 0.0),
+            1.0,
+            lights_mod.power_heuristic(1.0, state.prev_pdf, 1.0, pdf_l_hit),
+        )
+    else:
+        w_b = jnp.ones_like(hit.t)
     result = result + jnp.where(
         emissive[..., None], (w_b * mat.emission)[..., None] * state.throughput, 0.0
     )
@@ -239,9 +258,9 @@ def trace_bounce_nee(
     t_b, b_b = m.onb(sh_n)
     local_wo = m.to_local(t_b, b_b, sh_n, wo)
 
-    # ── next-event estimation ──
+    # ── next-event estimation (area lights) ──
     rng_state = state.rng
-    if lights.count > 0:
+    if lights is not None:
         u_l, states_l = rng_mod.next_f32_n(rng_state, 3)
         rng_state = jnp.where(alive, states_l[-1], rng_state)
         ls = lights_mod.sample_lights(lights, pos, jnp.stack([u_l[0], u_l[1], u_l[2]], -1))
@@ -259,6 +278,26 @@ def trace_bounce_nee(
         )
         contrib = jnp.where((can_light & ~occluded)[..., None], contrib, 0.0)
         result = result + state.throughput * jnp.nan_to_num(contrib, nan=0.0, posinf=0.0)
+
+    # ── environment NEE (CDF importance sampling, models/envlight.py) ──
+    if env_light is not None:
+        u_e, states_e = rng_mod.next_f32_n(rng_state, 2)
+        rng_state = jnp.where(alive, states_e[-1], rng_state)
+        es = envlight_mod.sample_env(env_light, jnp.stack([u_e[0], u_e[1]], -1))
+        we_local = m.to_local(t_b, b_b, sh_n, es.direction)
+        f_e, pdf_b_e = disney.eval_all(mat, local_wo, we_local)
+        can_env = alive & (es.pdf > 0.0) & allow_nee
+        env_occluded = occlude_fn(pos, es.direction, jnp.full(pos.shape[:1], m.T_MAX))
+        from ..models import lights as _lm
+
+        w_e = _lm.power_heuristic(1.0, es.pdf, 1.0, pdf_b_e)
+        contrib_e = (
+            f_e
+            * es.radiance
+            * (jnp.abs(m.cos_theta(we_local)) * w_e / jnp.where(es.pdf > 0.0, es.pdf, 1.0))[..., None]
+        )
+        contrib_e = jnp.where((can_env & ~env_occluded)[..., None], contrib_e, 0.0)
+        result = result + state.throughput * jnp.nan_to_num(contrib_e, nan=0.0, posinf=0.0)
 
     # ── BSDF sample (shared sampler; mixture pdf recorded for MIS) ──
     bs = disney.sample(mat, local_wo, rng_state, state.prev_lobe)
@@ -318,6 +357,7 @@ def trace_paths(
     enable_textures: bool,
     lights=None,
     occlude_fn: Callable | None = None,
+    env_light=None,
 ):
     """Trace a wavefront to termination; returns (radiance [N,3], rng')."""
     n = ray_o.shape[0]
@@ -333,7 +373,11 @@ def trace_paths(
         prev_pdf=jnp.zeros((n,), jnp.float32),
     )
 
-    use_nee = settings.use_nee and lights is not None and occlude_fn is not None
+    use_nee = (
+        settings.use_nee
+        and occlude_fn is not None
+        and (lights is not None or env_light is not None)
+    )
 
     def body(carry, k):
         st, rays = carry
@@ -342,6 +386,7 @@ def trace_paths(
             nxt = trace_bounce_nee(
                 scene, settings, lights, st, intersect_fn, occlude_fn, enable_textures,
                 allow_nee=k < settings.max_path_depth - 1,
+                env_light=env_light,
             )
         else:
             nxt = trace_bounce(scene, settings, st, intersect_fn, enable_textures)
@@ -364,6 +409,7 @@ def sample_sum(
     enable_textures: bool,
     lights=None,
     occlude_fn: Callable | None = None,
+    env_light=None,
 ):
     """Accumulate ``num_samples`` per pixel -- the reference ray_gen spp loop
     (device.cu:229-244), resumable: the carried RNG state keeps the per-pixel
@@ -384,7 +430,7 @@ def sample_sum(
         o, d = primary_rays(scene.camera, pixel_xy, jitter, fb)
         radiance, st, r = trace_paths(
             scene, settings, o, d, st, intersect_fn, enable_textures,
-            lights=lights, occlude_fn=occlude_fn,
+            lights=lights, occlude_fn=occlude_fn, env_light=env_light,
         )
         return (st, acc + radiance), r
 
