@@ -1,0 +1,120 @@
+"""One-shot TPU performance probe. Run stages individually to survive a flaky
+tunnel:  python tools/tpu_probe.py <stage>
+
+Stages: health, gather, wave, render, sweep
+Every print is flushed; every measurement forces completion via host readback.
+"""
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def sync_min(f, n=3):
+    f()
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        f()
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def stage_health():
+    import jax, jax.numpy as jnp
+
+    t0 = time.time()
+    print(jax.devices(), f"{time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    print(float(jnp.sum(jnp.ones((128, 128)))), f"{time.time()-t0:.1f}s", flush=True)
+
+
+def stage_gather():
+    import jax, jax.numpy as jnp
+
+    N, K, W = 65536, 1024, 1152
+    r = np.random.default_rng(0)
+    idx = jnp.asarray(r.integers(0, K, N).astype(np.int32))
+    idx_s = jnp.sort(idx)
+    tab = jnp.asarray(r.random((K, W), np.float32))
+    g = jax.jit(lambda i: jnp.sum(tab[i]))
+    print(f"gather random: {sync_min(lambda: float(g(idx)))*1e3:.1f} ms", flush=True)
+    print(f"gather sorted: {sync_min(lambda: float(g(idx_s)))*1e3:.1f} ms", flush=True)
+
+    @jax.jit
+    def sgu(i):
+        perm = jnp.argsort(i)
+        out = tab[i[perm]]
+        return jnp.sum(out)
+
+    print(f"argsort+sorted gather: {sync_min(lambda: float(sgu(idx)))*1e3:.1f} ms", flush=True)
+
+
+def stage_wave():
+    import jax, jax.numpy as jnp
+    from owl_path_tracer_tpu.ops import cluster as cl
+    from owl_path_tracer_tpu.models.scene import compile_scene
+    from owl_path_tracer_tpu.render import film as film_mod
+
+    scene = compile_scene("assets", "dragon", (512, 512))
+    cb = film_mod.make_accel(scene, "cluster", cluster_size=128)
+    N = 65536
+    r = np.random.default_rng(0)
+    o = jnp.asarray(np.tile(np.asarray([[3, 1.5, 0]], np.float32), (N, 1)))
+    d = r.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    f = lambda: float(jnp.sum(cl.cluster_closest_hit(o, d, cb).t))
+    t0 = time.time()
+    f()
+    print(f"closest_hit compile+run {time.time()-t0:.1f}s", flush=True)
+    dt = sync_min(f)
+    print(f"closest_hit steady {dt*1e3:.1f} ms -> {N/dt/1e6:.2f} Mrays/s", flush=True)
+
+
+def stage_render():
+    from owl_path_tracer_tpu.models.scene import RenderSettings, compile_scene
+    from owl_path_tracer_tpu.render import film as film_mod
+
+    scene = compile_scene("assets", "dragon", (512, 512))
+    cb = film_mod.make_accel(scene, "cluster", cluster_size=128)
+    s = RenderSettings(width=512, height=512, max_samples=4, max_path_depth=4,
+                       environment_auto=True, environment_intensity=1.0)
+    warm = film_mod.new_film(s)
+    t0 = time.time()
+    warm = film_mod.add_samples(scene, s, warm, 1, pixel_chunk=65536, accel=cb)
+    print(f"1spp compile+run {time.time()-t0:.1f}s", flush=True)
+    f2 = film_mod.new_film(s)
+    t0 = time.time()
+    f2 = film_mod.add_samples(scene, s, f2, 4, pixel_chunk=65536, accel=cb)
+    dt = time.time() - t0
+    print(f"4spp steady {dt:.1f}s rays={f2.rays_traced} -> {f2.rays_traced/dt/1e6:.2f} Mrays/s", flush=True)
+
+
+def stage_sweep():
+    import jax, jax.numpy as jnp
+    from owl_path_tracer_tpu.ops import cluster as cl
+    from owl_path_tracer_tpu.models.scene import compile_scene
+
+    scene = compile_scene("assets", "dragon", (512, 512))
+    v = np.asarray(scene.vertices)
+    t = np.asarray(scene.tri_idx)
+    N = 65536
+    r = np.random.default_rng(0)
+    o = jnp.asarray(np.tile(np.asarray([[3, 1.5, 0]], np.float32), (N, 1)))
+    d = r.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    for cs in (32, 64, 128, 256):
+        cb = cl.build_clusters(v, t, cluster_size=cs)
+        f = lambda: float(jnp.sum(cl.cluster_closest_hit(o, d, cb).t))
+        dt = sync_min(f)
+        print(f"CS={cs} K={cb.num_clusters}: {dt*1e3:.1f} ms -> {N/dt/1e6:.2f} Mrays/s", flush=True)
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1] if len(sys.argv) > 1 else "health"
+    globals()[f"stage_{stage}"]()
