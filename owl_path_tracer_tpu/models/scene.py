@@ -44,6 +44,11 @@ class Scene(NamedTuple):
     tri_idx: jnp.ndarray  # [T,3] into the global vertex arrays
     tri_mat: jnp.ndarray  # [T] material id per triangle
     tri_mesh: jnp.ndarray  # [T] entity/mesh id per triangle (parity bookkeeping)
+    # Pre-gathered per-triangle shading data: one [T,24] gather at hit points
+    # instead of ~10 separate vertex-table gathers (gathers are the latency
+    # bottleneck on the TPU backend).  Layout: p0 p1 p2 n0 n1 n2 (3 each),
+    # tc0 tc1 tc2 (2 each).
+    shade_blob: jnp.ndarray  # [T,24]
 
     # Materials
     materials: material_mod.Materials
@@ -60,6 +65,14 @@ class Scene(NamedTuple):
     @property
     def num_tris(self) -> int:
         return self.tri_idx.shape[0]
+
+
+def _shade_blob(vertices, normals, texcoords, tri_idx) -> np.ndarray:
+    t = np.asarray(tri_idx)
+    parts = [np.asarray(vertices)[t[:, c]] for c in range(3)]
+    parts += [np.asarray(normals)[t[:, c]] for c in range(3)]
+    parts += [np.asarray(texcoords)[t[:, c]] for c in range(3)]
+    return np.concatenate(parts, axis=1).astype(np.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,6 +196,7 @@ def compile_scene(
         tri_idx=jnp.asarray(tri_idx),
         tri_mat=jnp.asarray(tri_mat),
         tri_mesh=jnp.asarray(tri_mesh),
+        shade_blob=jnp.asarray(_shade_blob(vertices, normals, texcoords, tri_idx)),
         materials=materials,
         mat_tex=jnp.asarray(mat_tex),
         textures=jnp.asarray(stack),
@@ -220,13 +234,16 @@ def scene_from_arrays(
     em = np.nonzero(emission[tri_mat] > 0.0)[0].astype(np.int32)
     if em.size == 0:
         em = np.asarray([-1], np.int32)
+    normals = np.asarray(normals, np.float32)
+    texcoords = np.zeros((len(vertices), 2), np.float32)
     return Scene(
         vertices=jnp.asarray(vertices),
-        normals=jnp.asarray(np.asarray(normals, np.float32)),
-        texcoords=jnp.zeros((len(vertices), 2), jnp.float32),
+        normals=jnp.asarray(normals),
+        texcoords=jnp.asarray(texcoords),
         tri_idx=jnp.asarray(tri_idx),
         tri_mat=jnp.asarray(tri_mat),
         tri_mesh=jnp.zeros((len(tri_idx),), jnp.int32),
+        shade_blob=jnp.asarray(_shade_blob(vertices, normals, texcoords, tri_idx)),
         materials=materials,
         mat_tex=jnp.full((materials.count,), -1, jnp.int32),
         textures=jnp.zeros((1, 1, 1, 3), jnp.float32),

@@ -179,6 +179,106 @@ def _intersect_cluster(ray_o, ray_d, cb: ClusterBVH, cid, t_min, best_t):
 
 MAX_CANDIDATES = 16
 
+# Phase-B strategy, swept on hardware via tools/tpu_probe.py:
+#   direct -- per-ray blob gather (N * C*9 floats per step)
+#   sorted -- argsort rays by cluster id first (coherent gather runs)
+#   binned -- cluster-aligned bins, one blob gather per bin (~50x fewer bytes)
+import os as _os
+
+PHASE_B = _os.environ.get("OWLPT_PHASE_B", "direct")
+if _os.environ.get("OWLPT_SORT_RAYS") == "1":  # back-compat alias
+    PHASE_B = "sorted"
+
+
+def _sorted_intersect(ray_o, ray_d, cb, cid, t_min, best_t):
+    perm = jnp.argsort(cid)
+    inv = jnp.argsort(perm)
+    lt, ltri, luv, lhit = _intersect_cluster(
+        ray_o[perm], ray_d[perm], cb, cid[perm], t_min, best_t[perm]
+    )
+    return lt[inv], ltri[inv], luv[inv], lhit[inv]
+
+
+def _binned_intersect(ray_o, ray_d, cb, cid, t_min, best_t, block: int = 64):
+    """Cluster-aligned binned MT: gather each cluster's blob once per *block*
+    instead of once per *ray*.
+
+    Rays are sorted by cluster id and packed into [NB, block] bins that never
+    span two clusters, so the triangle blob gather shrinks from N*(C*9) floats
+    to NB*(C*9) with NB <= N/block + K -- typically ~50x fewer bytes, at the
+    price of sort/segment index math and <= (1 + K*block/N)x padded MT lanes.
+    Results are bit-identical to _intersect_cluster.
+    """
+    n = ray_o.shape[0]
+    c = cb.cluster_size
+    nb = n // block + cb.num_clusters  # static worst-case bin count
+
+    perm = jnp.argsort(cid)
+    scid = cid[perm]
+    # position of each sorted ray within its cluster run
+    run_start = jnp.searchsorted(scid, scid, side="left")
+    within = jnp.arange(n, dtype=jnp.int32) - run_start.astype(jnp.int32)
+    is_block_start = (within % block) == 0
+    block_idx = jnp.cumsum(is_block_start.astype(jnp.int32)) - 1  # [N]
+    slot = within % block
+
+    # per-block cluster id
+    block_cid = jnp.zeros((nb,), jnp.int32).at[block_idx].max(scid)
+
+    def pack(x, fill=0.0):
+        shape = (nb, block) + x.shape[1:]
+        return jnp.full(shape, fill, x.dtype).at[block_idx, slot].set(x[perm])
+
+    o_b = pack(ray_o)
+    d_b = pack(ray_d)
+    bt_b = pack(best_t, fill=-1.0)  # fill<t_min => padded lanes can't hit
+    valid_b = jnp.zeros((nb, block), bool).at[block_idx, slot].set(True)
+
+    blob = cb.tri_blob[block_cid].reshape(nb, c, 9)
+    p0 = blob[..., 0:3]
+    e1 = blob[..., 3:6]
+    e2 = blob[..., 6:9]
+    tid = cb.tri_id[block_cid]  # [NB,C]
+
+    d4 = d_b[:, :, None, :]
+    o4 = o_b[:, :, None, :]
+    h = jnp.cross(d4, e2[:, None, :, :])
+    det = jnp.sum(e1[:, None, :, :] * h, axis=-1)  # [NB,B,C]
+    inv = 1.0 / jnp.where(jnp.abs(det) < _EPS_DET, 1.0, det)
+    s = o4 - p0[:, None, :, :]
+    u = inv * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1[:, None, :, :])
+    v = inv * jnp.sum(d4 * q, axis=-1)
+    t = inv * jnp.sum(e2[:, None, :, :] * q, axis=-1)
+    ok = (
+        valid_b[:, :, None]
+        & (tid[:, None, :] >= 0)
+        & (jnp.abs(det) >= _EPS_DET)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < bt_b[:, :, None])
+    )
+    t = jnp.where(ok, t, jnp.inf)
+    j = jnp.argmin(t, axis=-1)  # [NB,B]
+    rb = jnp.arange(nb)[:, None]
+    sb = jnp.arange(block)[None, :]
+    tj = t[rb, sb, j]
+    hit_b = jnp.isfinite(tj)
+    tri_b = jnp.where(hit_b, jnp.take_along_axis(tid, j, axis=1), -1)
+    u_b = u[rb, sb, j]
+    v_b = v[rb, sb, j]
+
+    # unpack back to original ray order
+    inv_perm = jnp.argsort(perm)
+
+    def unpack(x):
+        flat = x[block_idx, slot]  # sorted-ray order
+        return flat[inv_perm]
+
+    return unpack(tj), unpack(tri_b), jnp.stack([unpack(u_b), unpack(v_b)], -1), unpack(hit_b)
+
 
 @partial(jax.jit, static_argnames=("any_hit", "max_candidates"))
 def cluster_closest_hit(
@@ -234,7 +334,12 @@ def cluster_closest_hit(
         active = active_mask(cursor, best_t, best_tri)
         cid = top_idx[rows, jnp.minimum(cursor, kc - 1)]
         cid_safe = jnp.where(active, cid, 0)
-        lt, ltri, luv, lhit = _intersect_cluster(ray_o, ray_d, cb, cid_safe, t_min, best_t)
+        isect = {
+            "direct": _intersect_cluster,
+            "sorted": _sorted_intersect,
+            "binned": _binned_intersect,
+        }[PHASE_B]
+        lt, ltri, luv, lhit = isect(ray_o, ray_d, cb, cid_safe, t_min, best_t)
         better = active & lhit & (lt < best_t)
         best_t = jnp.where(better, lt, best_t)
         best_tri = jnp.where(better, ltri, best_tri)

@@ -76,37 +76,52 @@ def _environment_radiance(scene: Scene, settings: RenderSettings, ray_d):
     return env * settings.environment_intensity
 
 
+def _material_blob(scene: Scene):
+    """[M,17] fused material table: one gather per wavefront, split after."""
+    mt = scene.materials
+    cols = [mt.base_color] + [getattr(mt, f)[:, None] for f in mt._fields if f != "base_color"]
+    return jnp.concatenate(cols, axis=1)
+
+
 def _fetch_surface(scene: Scene, hit: HitRecord, enable_textures: bool):
-    """Geometry + material fetch at hit points -- device.cu:150-173."""
+    """Geometry + material fetch at hit points -- device.cu:150-173.
+
+    One [T,24] shade-blob gather + one [M,17] material gather per wavefront
+    (gather count, not bytes, is the latency bottleneck on this backend).
+    Interpolation formulas match the reference bit-for-bit
+    ((1-u-v)*a + u*b + v*c, device.cu:59,72).
+    """
     tri = jnp.maximum(hit.tri, 0)
-    i0 = scene.tri_idx[tri, 0]
-    i1 = scene.tri_idx[tri, 1]
-    i2 = scene.tri_idx[tri, 2]
     u = hit.uv[..., 0:1]
     v = hit.uv[..., 1:2]
     w = 1.0 - u - v
 
-    p0 = scene.vertices[i0]
-    p1 = scene.vertices[i1]
-    p2 = scene.vertices[i2]
+    blob = scene.shade_blob[tri]  # [N,24]
+    p0 = blob[:, 0:3]
+    p1 = blob[:, 3:6]
+    p2 = blob[:, 6:9]
     pos = w * p0 + u * p1 + v * p2
     geo_n = jnp.cross(p1 - p0, p2 - p0)
     geo_n = geo_n / jnp.sqrt(jnp.maximum(m.dot(geo_n, geo_n), 1e-20))[..., None]
 
-    n0 = scene.normals[i0]
-    n1 = scene.normals[i1]
-    n2 = scene.normals[i2]
+    n0 = blob[:, 9:12]
+    n1 = blob[:, 12:15]
+    n2 = blob[:, 15:18]
     sh_n = w * n0 + u * n1 + v * n2
     sh_n = sh_n / jnp.sqrt(jnp.maximum(m.dot(sh_n, sh_n), 1e-20))[..., None]
 
     mat_id = scene.tri_mat[tri]
-    mat = scene.materials.gather(mat_id)
+    from ..models.material import Materials
+
+    mblob = _material_blob(scene)[mat_id]  # [N,17]
+    scalars = {
+        f: mblob[:, 3 + i]
+        for i, f in enumerate(x for x in Materials._fields if x != "base_color")
+    }
+    mat = Materials(base_color=mblob[:, 0:3], **scalars)
 
     if enable_textures:
-        t0 = scene.texcoords[i0]
-        t1 = scene.texcoords[i1]
-        t2 = scene.texcoords[i2]
-        tc = w * t0 + u * t1 + v * t2
+        tc = w * blob[:, 18:20] + u * blob[:, 20:22] + v * blob[:, 22:24]
         tex_id = scene.mat_tex[mat_id]
         tex_color = tex.sample_atlas_nearest(scene.textures, tex_id, tc)
         base = jnp.where((tex_id >= 0)[..., None], tex_color, mat.base_color)

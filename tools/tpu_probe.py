@@ -115,6 +115,30 @@ def stage_sweep():
         print(f"CS={cs} K={cb.num_clusters}: {dt*1e3:.1f} ms -> {N/dt/1e6:.2f} Mrays/s", flush=True)
 
 
+def stage_phaseb():
+    """Compare phase-B strategies on one dragon wave. Set OWLPT_PHASE_B
+    before launch; this stage just reports which is active + timing."""
+    import jax, jax.numpy as jnp
+    from owl_path_tracer_tpu.ops import cluster as cl
+    from owl_path_tracer_tpu.models.scene import compile_scene
+
+    print("PHASE_B =", cl.PHASE_B, flush=True)
+    scene = compile_scene("assets", "dragon", (512, 512))
+    cb = cl.build_clusters(np.asarray(scene.vertices), np.asarray(scene.tri_idx), cluster_size=128)
+    N = 65536
+    r = np.random.default_rng(0)
+    o = jnp.asarray(np.tile(np.asarray([[3, 1.5, 0]], np.float32), (N, 1)))
+    d = r.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    f = lambda: float(jnp.sum(cl.cluster_closest_hit(o, d, cb).t))
+    t0 = time.time()
+    ref = f()
+    print(f"compile+run {time.time()-t0:.1f}s sum={ref:.1f}", flush=True)
+    dt = sync_min(f)
+    print(f"steady {dt*1e3:.1f} ms -> {N/dt/1e6:.2f} Mrays/s", flush=True)
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "health"
     globals()[f"stage_{stage}"]()
