@@ -334,12 +334,19 @@ def cluster_closest_hit(
         active = active_mask(cursor, best_t, best_tri)
         cid = top_idx[rows, jnp.minimum(cursor, kc - 1)]
         cid_safe = jnp.where(active, cid, 0)
-        isect = {
-            "direct": _intersect_cluster,
-            "sorted": _sorted_intersect,
-            "binned": _binned_intersect,
-        }[PHASE_B]
-        lt, ltri, luv, lhit = isect(ray_o, ray_d, cb, cid_safe, t_min, best_t)
+        if PHASE_B == "pallas":
+            from .pallas_kernels import pallas_binned_intersect
+
+            lt, ltri, luv, lhit = pallas_binned_intersect(
+                ray_o, ray_d, cb, cid_safe, t_min, best_t
+            )
+        else:
+            isect = {
+                "direct": _intersect_cluster,
+                "sorted": _sorted_intersect,
+                "binned": _binned_intersect,
+            }[PHASE_B]
+            lt, ltri, luv, lhit = isect(ray_o, ray_d, cb, cid_safe, t_min, best_t)
         better = active & lhit & (lt < best_t)
         best_t = jnp.where(better, lt, best_t)
         best_tri = jnp.where(better, ltri, best_tri)
