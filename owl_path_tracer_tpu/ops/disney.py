@@ -228,11 +228,13 @@ def eval_diffuse(mat, wo, wi):
     return lambert * (fd + fr)[..., None], pdf
 
 
-def eval_specular_brdf(mat, wo, wh, wi):
+def eval_specular_brdf(mat, wo, wh, wi, corrected=False):
     """Metallic GGX lobe -- disney_specular.cuh:125-149.
 
-    pdf is the VNDF-style pdf (g1*d*max(0,wo.wh)/(4 cos wo)) even though the
-    parity sampler draws from the plain NDF -- reference semantics.
+    Parity pdf is the reference's expression g1*d*max(0,wo.wh)/(4 cos wo),
+    which is neither the NDF-sampling density it draws from nor quite the
+    VNDF density (an extra wo.wh factor).  ``corrected=True`` returns the
+    true VNDF density d*g1/(4|cos wo|), matching the corrected sampler.
     """
     c_tint = _tint(mat.base_color)
     c_spec = m.lerp(
@@ -246,7 +248,10 @@ def eval_specular_brdf(mat, wo, wh, wi):
     f = m.lerp(c_spec, jnp.ones_like(c_spec), schlick_weight(m.dot(wi, wh))[..., None])
     cos_o = m.cos_theta(wo)
     cos_safe = jnp.where(cos_o == 0.0, 1.0, cos_o)
-    pdf = d * g1_smith(wo, ax, ay) * jnp.maximum(0.0, m.dot(wo, wh)) / (4.0 * cos_safe)
+    if corrected:
+        pdf = d * g1_smith(wo, ax, ay) / (4.0 * jnp.abs(cos_safe))
+    else:
+        pdf = d * g1_smith(wo, ax, ay) * jnp.maximum(0.0, m.dot(wo, wh)) / (4.0 * cos_safe)
     pdf = jnp.where(cos_o == 0.0, 0.0, pdf)
     val = d * g / (4.0 * jnp.abs(cos_safe))
     val = jnp.where(cos_o == 0.0, 0.0, val)
@@ -269,14 +274,20 @@ def eval_specular_bsdf(mat, wo, wh, wi):
     return f, pdf
 
 
-def eval_clearcoat(mat, wo, wh, wi):
-    """GTR1 clearcoat -- disney_clearcoat.cuh:45-59."""
+def eval_clearcoat(mat, wo, wh, wi, corrected=False):
+    """GTR1 clearcoat -- disney_clearcoat.cuh:45-59.
+
+    ``corrected=True`` fixes the reference's pdf bug (thesis
+    assets/pdf-comparison): NDF sampling's true density is
+    d*cos(theta_h)/(4 wh.wi); the reference omits the cosine.
+    """
     alpha = m.lerp(0.1, 0.001, mat.clearcoat_gloss)
     d = d_gtr1(wh, alpha)
     f = m.lerp(1.0, schlick_weight(m.cos_theta(wi)), 0.04)
     g = g2_smith_separable(wo, wi, 0.25, 0.25)
     dwh_wi = m.dot(wh, wi)
-    pdf = d / jnp.where(dwh_wi == 0.0, 1.0, 4.0 * dwh_wi)
+    num = d * jnp.abs(m.cos_theta(wh)) if corrected else d
+    pdf = num / jnp.where(dwh_wi == 0.0, 1.0, 4.0 * dwh_wi)
     pdf = jnp.where(dwh_wi == 0.0, 0.0, pdf)
     denom = 4.0 * jnp.abs(m.cos_theta(wo)) * jnp.abs(m.cos_theta(wi))
     val = d * g * f / jnp.where(denom == 0.0, 1.0, denom)
@@ -310,25 +321,34 @@ def eval_sheen(mat, wo, wi):
 # ── lobe samplers (parity) ─────────────────────────────────────────────────
 
 
-def sample_specular_brdf(mat, wo, u):
-    """disney_specular.cuh:151-170: NDF sample, flip wh to wo side, reflect."""
+def sample_specular_brdf(mat, wo, u, corrected=False):
+    """disney_specular.cuh:151-170: NDF sample, flip wh to wo side, reflect.
+
+    ``corrected=True`` samples the *visible* normal distribution instead
+    (the sampler the reference implemented but never called,
+    disney_specular.cuh:85-110,157) -- consistent with the VNDF-style pdf the
+    eval already returns, so sampler and pdf finally agree.
+    """
     ax, ay = roughness_to_alpha_aniso(mat.roughness, mat.anisotropic)
-    wh = sample_gtr2_ndf(wo, ax, ay, u)
+    if corrected:
+        wh = sample_gtr2_vndf(wo, ax, ay, u)
+    else:
+        wh = sample_gtr2_ndf(wo, ax, ay, u)
     wh = jnp.where((m.dot(wo, wh) < 0.0)[..., None], -wh, wh)
     wi = m.reflect(wo, wh)
-    f, pdf = eval_specular_brdf(mat, wo, wh, wi)
+    f, pdf = eval_specular_brdf(mat, wo, wh, wi, corrected=corrected)
     dead = m.cos_theta(wi) <= 0.0
     return wi, jnp.where(dead[..., None], 0.0, f), jnp.where(dead, 0.0, pdf)
 
 
-def sample_clearcoat(mat, wo, u):
+def sample_clearcoat(mat, wo, u, corrected=False):
     """disney_clearcoat.cuh:61-78."""
     alpha = m.lerp(0.1, 0.001, mat.clearcoat_gloss)
     wh = sample_gtr1_ndf(wo, alpha, u)
     wh = jnp.where((m.dot(wh, wo) < 0.0)[..., None], -wh, wh)
     wh = wh / jnp.sqrt(m.dot(wh, wh))[..., None]
     wi = m.reflect(wo, wh)
-    f, pdf = eval_clearcoat(mat, wo, wh, wi)
+    f, pdf = eval_clearcoat(mat, wo, wh, wi, corrected=corrected)
     dead = ~m.same_hemisphere(wo, wi)
     return wi, jnp.where(dead[..., None], 0.0, f), jnp.where(dead, 0.0, pdf)
 
@@ -394,11 +414,17 @@ class BsdfSample(NamedTuple):
     state: jnp.ndarray  # [N] uint32 advanced RNG state
 
 
-def sample(mat, wo, state, prev_lobe) -> BsdfSample:
+def sample(mat, wo, state, prev_lobe, corrected: bool = False) -> BsdfSample:
     """Parity port of sample_disney (disney.cuh:31-66), wavefront-batched.
 
     mat: per-ray gathered Materials pytree; wo [N,3] local; state [N] uint32;
     prev_lobe [N] i32 (the across-bounce sampled_lobe, device.cu:127).
+
+    ``corrected=True`` (RenderSettings.parity=False) replaces the reference's
+    knowingly-wrong choices: VNDF metal sampling, cosine-complete clearcoat
+    pdf, and a returned pdf that includes the discrete lobe-selection
+    probability (the proper mixture estimator).  RNG draw accounting is kept
+    identical so parity/corrected renders stay stream-aligned.
     """
     u, states = rng_mod.next_f32_n(state, 6)
     p = u[0]
@@ -436,8 +462,8 @@ def sample(mat, wo, state, prev_lobe) -> BsdfSample:
     mat_d, wo_d, u_d = lobe_inputs(sel_diff)
     mat_g, wo_g, u_g = lobe_inputs(sel_glass)
 
-    wi_m, f_m, pdf_m = sample_specular_brdf(mat_m, wo_m, u_m)
-    wi_c, f_c, pdf_c = sample_clearcoat(mat_c, wo_c, u_c)
+    wi_m, f_m, pdf_m = sample_specular_brdf(mat_m, wo_m, u_m, corrected=corrected)
+    wi_c, f_c, pdf_c = sample_clearcoat(mat_c, wo_c, u_c, corrected=corrected)
     wi_d, f_d, pdf_d = sample_diffuse(mat_d, wo_d, u_d)
     sg3 = sel_glass[..., None]
     wi_g, f_g, pdf_g, consumed_g = sample_glass(
@@ -459,6 +485,10 @@ def sample(mat, wo, state, prev_lobe) -> BsdfSample:
     wi = pick(wi_m, wi_c, wi_d, wi_g)
     f = pick(f_m, f_c, f_d, f_g)
     pdf = pick(pdf_m, pdf_c, pdf_d, pdf_g)
+    if corrected:
+        # mixture estimator: selection probability enters the pdf (the parity
+        # path deliberately omits it, disney.cuh:44-63)
+        pdf = pdf * pick(p_metal, p_cc, p_diff, p_glass)
     lobe = pick(
         jnp.full_like(prev_lobe, LOBE_METALLIC),
         jnp.full_like(prev_lobe, LOBE_CLEARCOAT),

@@ -159,7 +159,9 @@ def trace_bounce(
     wo = -state.ray_d
     t_b, b_b = m.onb(sh_n)
     local_wo = m.to_local(t_b, b_b, sh_n, wo)
-    bs = disney.sample(mat, local_wo, state.rng, state.prev_lobe)
+    bs = disney.sample(
+        mat, local_wo, state.rng, state.prev_lobe, corrected=not settings.parity
+    )
     rng_state = jnp.where(alive, bs.state, state.rng)
     wi_world = m.to_world(t_b, b_b, sh_n, bs.wi)
 
@@ -315,7 +317,9 @@ def trace_bounce_nee(
         result = result + state.throughput * jnp.nan_to_num(contrib_e, nan=0.0, posinf=0.0)
 
     # ── BSDF sample (shared sampler; mixture pdf recorded for MIS) ──
-    bs = disney.sample(mat, local_wo, rng_state, state.prev_lobe)
+    bs = disney.sample(
+        mat, local_wo, rng_state, state.prev_lobe, corrected=not settings.parity
+    )
     rng_state = jnp.where(alive, bs.state, rng_state)
     wi_world = m.to_world(t_b, b_b, sh_n, bs.wi)
     _, pdf_mix = disney.eval_all(mat, local_wo, bs.wi)

@@ -137,3 +137,30 @@ def test_rr_quirk_darkens_deep_paths():
     # before escaping the closed sphere; radiance well below 1
     assert img.mean() < 0.5, img.mean()
     assert np.isfinite(img).all()
+
+
+def test_corrected_mode_furnace_with_metal():
+    """Corrected mode (VNDF + mixture pdf + compensated estimator) on a
+    smooth metal sphere in a white furnace: metal with base_color 1 and G/F
+    energy loss should still land near 1 and never exceed it much."""
+    mat = material_mod.single(base_color=(1, 1, 1), metallic=1.0, roughness=0.3, specular=0.0)
+    scene = sphere_scene(mat)
+    s = RenderSettings(width=32, height=32, max_samples=16, max_path_depth=4,
+                       environment_color=(1, 1, 1), environment_intensity=1.0,
+                       parity=False)
+    img = render(scene, s)
+    assert np.isfinite(img).all()
+    center = img[12:20, 12:20].mean()
+    assert 0.75 <= center <= 1.05, center
+
+
+def test_corrected_vs_parity_diffuse_identical():
+    """For a pure-diffuse scene the corrected sampler degenerates to the
+    parity one (p_diff=1, consistent pdf): images must be bit-identical."""
+    mat = material_mod.single(base_color=(0.6, 0.5, 0.4), roughness=0.9, specular=0.0)
+    scene = sphere_scene(mat)
+    base = dict(width=16, height=16, max_samples=4, max_path_depth=3,
+                environment_color=(1, 1, 1), environment_intensity=1.0)
+    img_p = render(scene, RenderSettings(**base, parity=True))
+    img_c = render(scene, RenderSettings(**base, parity=False))
+    np.testing.assert_array_equal(img_p, img_c)
