@@ -189,6 +189,11 @@ PHASE_B = _os.environ.get("OWLPT_PHASE_B", "direct")
 if _os.environ.get("OWLPT_SORT_RAYS") == "1":  # back-compat alias
     PHASE_B = "sorted"
 
+# The exact overflow continuation guarantees closest-hit exactness for rays
+# with >max_candidates intersected clusters.  Disable to measure its cost
+# (rays beyond the candidate list then terminate on the list's best hit).
+EXACT_OVERFLOW = _os.environ.get("OWLPT_EXACT_OVERFLOW", "1") == "1"
+
 
 def _sorted_intersect(ray_o, ray_d, cb, cid, t_min, best_t):
     perm = jnp.argsort(cid)
@@ -313,26 +318,26 @@ def cluster_closest_hit(
         best0 = jnp.asarray(t_max, jnp.float32)
 
     state = (
-        jnp.zeros((n,), jnp.int32),  # cursor into candidate list
         best0,
         jnp.full((n,), -1, jnp.int32),
         jnp.zeros((n, 2), jnp.float32),
     )
     rows = jnp.arange(n)
 
-    def active_mask(cursor, best_t, best_tri):
-        cur_t = cand_t[rows, jnp.minimum(cursor, kc - 1)]
-        in_range = (cursor < kc) & jnp.isfinite(cur_t)
+    # Fixed-trip fori over candidate-list COLUMNS: since each ray's list is
+    # sorted ascending and best_t only shrinks, "process column i iff
+    # cand_t[:,i] < best_t" is exactly the early-exit cursor walk -- but the
+    # per-iteration candidate reads are free dynamic slices instead of
+    # per-ray gathers (which dominated the wave cost on hardware).
+    # fori (not while): lax.while_loop measured ~10x slower on this backend.
+    def body(i, state):
+        best_t, best_tri, best_uv = state
+        cur_t = jax.lax.dynamic_slice_in_dim(cand_t, i, 1, axis=1)[:, 0]
+        cid = jax.lax.dynamic_slice_in_dim(top_idx, i, 1, axis=1)[:, 0]
         if any_hit:
-            return in_range & (best_tri < 0)
-        return in_range & (cur_t < best_t)
-
-    # fixed-trip fori: ~10x cheaper than lax.while_loop on the TPU backend
-    # (measured); wasted tail iterations are fully masked
-    def body(_, state):
-        cursor, best_t, best_tri, best_uv = state
-        active = active_mask(cursor, best_t, best_tri)
-        cid = top_idx[rows, jnp.minimum(cursor, kc - 1)]
+            active = jnp.isfinite(cur_t) & (best_tri < 0)
+        else:
+            active = cur_t < best_t
         cid_safe = jnp.where(active, cid, 0)
         if PHASE_B == "pallas":
             from .pallas_kernels import pallas_binned_intersect
@@ -351,17 +356,19 @@ def cluster_closest_hit(
         best_t = jnp.where(better, lt, best_t)
         best_tri = jnp.where(better, ltri, best_tri)
         best_uv = jnp.where(better[:, None], luv, best_uv)
-        cursor = jnp.where(active, cursor + 1, cursor)
-        return (cursor, best_t, best_tri, best_uv)
+        return (best_t, best_tri, best_uv)
 
-    cursor, best_t, best_tri, best_uv = jax.lax.fori_loop(0, kc, body, state)
+    best_t, best_tri, best_uv = jax.lax.fori_loop(0, kc, body, state)
+
+    if not EXACT_OVERFLOW:
+        return HitRecord(t=best_t, tri=best_tri, uv=best_uv)
 
     # ── exact overflow continuation (rare; skipped entirely when unneeded) ──
-    last_t = cand_t[rows, kc - 1]
+    last_t = cand_t[:, kc - 1]
     if any_hit:
-        overflow = (cursor >= kc) & jnp.isfinite(last_t) & (best_tri < 0)
+        overflow = jnp.isfinite(last_t) & (best_tri < 0)
     else:
-        overflow = (cursor >= kc) & jnp.isfinite(last_t) & (last_t < best_t)
+        overflow = jnp.isfinite(last_t) & (last_t < best_t)
 
     def run_overflow(args):
         best_t, best_tri, best_uv = args

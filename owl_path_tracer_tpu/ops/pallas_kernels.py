@@ -27,19 +27,19 @@ _EPS_DET = 1e-12
 
 
 def _mt_kernel(c: int, b: int, cid_ref, rays_ref, blob_ref, tid_ref, out_ref, tri_ref):
-    """One bin: rays_ref [1,B,8] (o,d,best_t,valid), blob_ref [1,C*9],
-    tid_ref [1,C] -> out_ref [1,B,4] (t,u,v,hit), tri_ref [1,B]."""
+    """One bin: rays_ref [1,B,8] (o,d,best_t,valid), blob_ref [1,1,C*9],
+    tid_ref [1,1,C] -> out_ref [1,B,4] (t,u,v,hit), tri_ref [1,B,1]."""
     rays = rays_ref[0]  # [B,8]
     o = rays[:, 0:3][:, None, :]  # [B,1,3]
     d = rays[:, 3:6][:, None, :]
     best_t = rays[:, 6]
     valid = rays[:, 7] > 0.0
 
-    blob = blob_ref[0].reshape(c, 9)
+    blob = blob_ref[0, 0].reshape(c, 9)
     p0 = blob[:, 0:3][None, :, :]  # [1,C,3]
     e1 = blob[:, 3:6][None, :, :]
     e2 = blob[:, 6:9][None, :, :]
-    tid = tid_ref[0]  # [C]
+    tid = tid_ref[0, 0]  # [C]
 
     h = jnp.cross(d, e2)
     det = jnp.sum(e1 * h, axis=-1)  # [B,C]
@@ -69,7 +69,7 @@ def _mt_kernel(c: int, b: int, cid_ref, rays_ref, blob_ref, tid_ref, out_ref, tr
     out_ref[0, :, 1] = u[rows, j]
     out_ref[0, :, 2] = v[rows, j]
     out_ref[0, :, 3] = hit.astype(jnp.float32)
-    tri_ref[0] = jnp.where(hit, tid[j], -1)
+    tri_ref[0, :, 0] = jnp.where(hit, tid[j], -1)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -84,18 +84,23 @@ def binned_mt_pallas(block_cid, rays_packed, tri_blob, tri_id, interpret=False):
 
     nb, b, _ = rays_packed.shape
     c = tri_id.shape[1]
+    k = tri_blob.shape[0]
+    # Mosaic block-shape rule: each of the last two block dims must divide
+    # (8, 128) or equal the full array dim -- hence the rank-3 [K,1,*] views.
+    blob3 = tri_blob.reshape(k, 1, c * 9)
+    tid3 = tri_id.reshape(k, 1, c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, b, 8), lambda i, cid: (i, 0, 0)),
-            pl.BlockSpec((1, c * 9), lambda i, cid: (cid[i], 0)),
-            pl.BlockSpec((1, c), lambda i, cid: (cid[i], 0)),
+            pl.BlockSpec((1, 1, c * 9), lambda i, cid: (cid[i], 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, cid: (cid[i], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, b, 4), lambda i, cid: (i, 0, 0)),
-            pl.BlockSpec((1, b), lambda i, cid: (i, 0)),
+            pl.BlockSpec((1, b, 1), lambda i, cid: (i, 0, 0)),
         ],
     )
     out, tri = pl.pallas_call(
@@ -103,11 +108,11 @@ def binned_mt_pallas(block_cid, rays_packed, tri_blob, tri_id, interpret=False):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, b, 4), jnp.float32),
-            jax.ShapeDtypeStruct((nb, b), jnp.int32),
+            jax.ShapeDtypeStruct((nb, b, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(block_cid, rays_packed, tri_blob, tri_id)
-    return out, tri
+    )(block_cid, rays_packed, blob3, tid3)
+    return out, tri[..., 0]
 
 
 def pallas_binned_intersect(ray_o, ray_d, cb, cid, t_min, best_t, block: int = 64, interpret: bool = False):

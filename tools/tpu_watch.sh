@@ -1,26 +1,22 @@
 #!/bin/bash
-# Poll TPU health; when alive, run the full probe sweep once and exit.
-# Results land in /tmp/tpu_sweep_results.txt
+# Poll TPU health; when alive, run probe stages; exit after one full pass.
 cd /root/repo
 OUT=/tmp/tpu_sweep_results.txt
-: > "$OUT"
+echo "=== watcher restart $(date) ===" >> "$OUT"
 for i in $(seq 1 200); do
-  if timeout 60 python tools/tpu_probe.py health >> "$OUT" 2>&1; then
+  if timeout 90 python tools/tpu_probe.py health >> "$OUT" 2>&1; then
     echo "=== TPU ALIVE (attempt $i, $(date)) ===" >> "$OUT"
-    echo "--- gather ---" >> "$OUT"
-    timeout 400 python tools/tpu_probe.py gather >> "$OUT" 2>&1
-    for pb in direct sorted binned pallas; do
-      echo "--- wave PHASE_B=$pb ---" >> "$OUT"
-      OWLPT_PHASE_B=$pb timeout 400 python tools/tpu_probe.py phaseb >> "$OUT" 2>&1
-    done
-    echo "--- cluster-size sweep (direct) ---" >> "$OUT"
-    timeout 500 python tools/tpu_probe.py sweep >> "$OUT" 2>&1
-    echo "--- render ---" >> "$OUT"
-    timeout 500 python tools/tpu_probe.py render >> "$OUT" 2>&1
+    echo "--- direct no-overflow ---" >> "$OUT"
+    OWLPT_EXACT_OVERFLOW=0 OWLPT_PHASE_B=direct timeout 400 python tools/tpu_probe.py phaseb >> "$OUT" 2>&1
+    echo "--- pallas no-overflow ---" >> "$OUT"
+    OWLPT_EXACT_OVERFLOW=0 OWLPT_PHASE_B=pallas timeout 400 python tools/tpu_probe.py phaseb >> "$OUT" 2>&1
+    echo "--- binned no-overflow ---" >> "$OUT"
+    OWLPT_EXACT_OVERFLOW=0 OWLPT_PHASE_B=binned timeout 400 python tools/tpu_probe.py phaseb >> "$OUT" 2>&1
+    echo "--- render no-overflow direct ---" >> "$OUT"
+    OWLPT_EXACT_OVERFLOW=0 timeout 500 python tools/tpu_probe.py render >> "$OUT" 2>&1
     echo "=== DONE $(date) ===" >> "$OUT"
     exit 0
   fi
   echo "attempt $i: TPU dead $(date)" >> "$OUT"
-  sleep 90
+  sleep 60
 done
-exit 1
