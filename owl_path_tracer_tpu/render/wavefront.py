@@ -1,0 +1,205 @@
+"""Persistent-wavefront renderer with path regeneration.
+
+The parity integrator (render/integrator.py) mirrors the reference's
+per-pixel loops: a scan over spp around a scan over bounces, so lane
+occupancy decays with depth (a convex-scene wave is ~45% idle by bounce 2).
+This renderer keeps a fixed pool of lanes at ~full occupancy instead: every
+iteration traces ONE bounce for every lane, scatter-adds finished paths into
+the film, and immediately respawns those lanes on the next (pixel, sample)
+work item -- the classic wavefront path-regeneration scheme, expressed with
+static shapes (cumsum-compacted work assignment, no dynamic allocation).
+
+Trade-off: samples of a pixel no longer run sequentially in one lane, so the
+reference's sequential per-pixel LCG stream cannot be reproduced here; lanes
+seed per (pixel, sample) instead.  This is the throughput mode the benchmark
+uses -- estimator-equivalent to the parity renderer (same transport, same
+BSDF), not bit-equal.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.camera import primary_rays
+from ..models.scene import RenderSettings, Scene
+from ..ops import disney
+from ..ops import math as m
+from ..ops import rng as rng_mod
+from . import integrator
+
+
+class PoolState(NamedTuple):
+    pixel: jnp.ndarray  # [L] linear pixel index of each lane's current path
+    ray_o: jnp.ndarray
+    ray_d: jnp.ndarray
+    throughput: jnp.ndarray
+    result: jnp.ndarray
+    rng: jnp.ndarray
+    alive: jnp.ndarray  # lane is tracing a live path
+    prev_lobe: jnp.ndarray
+    depth: jnp.ndarray
+    work_counter: jnp.ndarray  # scalar i32: next work item to hand out
+    acc: jnp.ndarray  # [W*H,3] film accumulator (scatter-add)
+    rays: jnp.ndarray  # scalar i32 rays traced
+
+
+def _spawn(scene, settings, lane_work_id, total_work):
+    """Work item -> (pixel, primary ray, rng state). Per-(pixel,sample) seed."""
+    spp = settings.max_samples
+    pixel_lin = lane_work_id // spp
+    sample = lane_work_id % spp
+    px = pixel_lin % settings.width
+    py = pixel_lin // settings.width
+    # decorrelated per-sample stream: fold the sample index into the tea hash
+    st = rng_mod.seed(
+        px.astype(jnp.uint32) + jnp.uint32(0x9E3779B1) * sample.astype(jnp.uint32),
+        py.astype(jnp.uint32),
+    )
+    j0, st = rng_mod.next_f32(st)
+    j1, st = rng_mod.next_f32(st)
+    pixel_xy = jnp.stack([px, py], -1)
+    o, d = primary_rays(
+        scene.camera, pixel_xy, jnp.stack([j0, j1], -1), (settings.width, settings.height)
+    )
+    return pixel_lin, o, d, st
+
+
+def wavefront_step(
+    scene: Scene,
+    settings: RenderSettings,
+    st: PoolState,
+    intersect_fn: Callable,
+    enable_textures: bool,
+    total_work: int,
+) -> PoolState:
+    """One bounce for every lane + regeneration of finished lanes."""
+    # --- trace one bounce using the shared parity bounce kernel ---
+    ps = integrator.PathState(
+        ray_o=st.ray_o,
+        ray_d=st.ray_d,
+        result=st.result,
+        throughput=st.throughput,
+        rng=st.rng,
+        alive=st.alive,
+        prev_lobe=st.prev_lobe,
+        depth=st.depth,
+        prev_pdf=jnp.zeros_like(st.rng, jnp.float32),
+    )
+    rays = st.rays + jnp.sum(ps.alive.astype(jnp.int32))
+    ps = integrator.trace_bounce(scene, settings, ps, intersect_fn, enable_textures)
+    # depth exhaustion also terminates a path
+    exhausted = ps.alive & (ps.depth >= settings.max_path_depth)
+    path_done = st.alive & (~ps.alive | exhausted)
+
+    # --- bank finished paths into the film ---
+    acc = st.acc.at[st.pixel].add(jnp.where(path_done[:, None], ps.result, 0.0))
+
+    # --- regenerate finished lanes on fresh work items ---
+    idle = path_done | ~st.alive
+    order = jnp.cumsum(idle.astype(jnp.int32)) - 1  # rank among idle lanes
+    new_ids = st.work_counter + order
+    can_spawn = idle & (new_ids < total_work)
+    handed_out = jnp.minimum(jnp.sum(idle.astype(jnp.int32)),
+                             jnp.maximum(total_work - st.work_counter, 0))
+
+    pixel_s, o_s, d_s, rng_s = _spawn(
+        scene, settings, jnp.maximum(new_ids, 0), total_work
+    )
+
+    def sel(new, old):
+        mask = can_spawn
+        if new.ndim > 1:
+            mask = mask[:, None]
+        return jnp.where(mask, new, old)
+
+    keep_alive = ps.alive & ~path_done
+    return PoolState(
+        pixel=sel(pixel_s, st.pixel),
+        ray_o=sel(o_s, ps.ray_o),
+        ray_d=sel(d_s, ps.ray_d),
+        throughput=sel(jnp.ones_like(st.throughput), ps.throughput),
+        result=sel(jnp.zeros_like(st.result), ps.result),
+        rng=sel(rng_s, ps.rng),
+        alive=jnp.where(can_spawn, True, keep_alive),
+        prev_lobe=sel(jnp.full_like(st.prev_lobe, disney.LOBE_NONE), ps.prev_lobe),
+        depth=sel(jnp.zeros_like(st.depth), ps.depth),
+        work_counter=st.work_counter + handed_out,
+        acc=acc,
+        rays=rays,
+    )
+
+
+@partial(jax.jit, static_argnames=("settings", "enable_textures", "total_work", "iters", "accel_kind"))
+def _run_chunk(scene, settings, st, accel, enable_textures, total_work, iters, accel_kind):
+    from ..ops.cluster import make_cluster_intersector
+    from ..ops.traverse import make_bvh_intersector
+
+    if accel_kind == "cluster":
+        intersect_fn = make_cluster_intersector(accel)
+    elif accel_kind == "bvh":
+        intersect_fn = make_bvh_intersector(accel)
+    else:
+        intersect_fn = integrator.make_brute_intersector(scene)
+
+    def body(st, _):
+        return wavefront_step(scene, settings, st, intersect_fn, enable_textures, total_work), None
+
+    st, _ = jax.lax.scan(body, st, None, length=iters)
+    return st
+
+
+def render_image_wavefront(
+    scene: Scene,
+    settings: RenderSettings,
+    accel=None,
+    lanes: int = 131072,
+    iters_per_launch: int = 16,
+    max_launches: int = 1000,
+) -> tuple:
+    """Full-frame render via the persistent pool.
+
+    Returns (image f32 [H,W,3] top-row-first, rays_traced).
+    """
+    from ..ops.cluster import ClusterBVH
+    from ..ops.traverse import DeviceBVH
+    from .film import scene_has_textures
+
+    accel_kind = (
+        "cluster" if isinstance(accel, ClusterBVH)
+        else "bvh" if isinstance(accel, DeviceBVH)
+        else "brute"
+    )
+    enable_textures = scene_has_textures(scene)
+    total_work = settings.width * settings.height * settings.max_samples
+
+    st = PoolState(
+        pixel=jnp.zeros((lanes,), jnp.int32),
+        ray_o=jnp.zeros((lanes, 3), jnp.float32),
+        ray_d=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (lanes, 3)),
+        throughput=jnp.ones((lanes, 3), jnp.float32),
+        result=jnp.zeros((lanes, 3), jnp.float32),
+        rng=jnp.zeros((lanes,), jnp.uint32),
+        alive=jnp.zeros((lanes,), bool),  # all lanes idle -> spawn on step 1
+        prev_lobe=jnp.full((lanes,), disney.LOBE_NONE, jnp.int32),
+        depth=jnp.zeros((lanes,), jnp.int32),
+        work_counter=jnp.int32(0),
+        acc=jnp.zeros((settings.width * settings.height, 3), jnp.float32),
+        rays=jnp.int32(0),
+    )
+
+    for _ in range(max_launches):
+        st = _run_chunk(
+            scene, settings, st, accel, enable_textures, total_work,
+            iters_per_launch, accel_kind,
+        )
+        done = int(st.work_counter) >= total_work and not bool(np.asarray(st.alive).any())
+        if done:
+            break
+
+    img = np.asarray(st.acc).reshape(settings.height, settings.width, 3)
+    img = img / settings.max_samples
+    return img[::-1].copy(), int(st.rays)
