@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--cluster-size", type=int, default=128)
     ap.add_argument("--pixel-chunk", type=int, default=65536)
+    ap.add_argument("--renderer", choices=["wavefront", "scan"], default="wavefront")
+    ap.add_argument("--lanes", type=int, default=131072)
     ap.add_argument("--quick", action="store_true", help="256^2, spp=2 smoke config")
     args = ap.parse_args()
     if args.quick:
@@ -53,22 +55,33 @@ def main():
     )
     accel = film_mod.make_accel(scene, "cluster", cluster_size=args.cluster_size)
 
-    # warm-up/compile pass (tiny spp) so the measured pass is steady-state
-    warm = film_mod.new_film(settings)
-    warm = film_mod.add_samples(scene, settings, warm, 1, pixel_chunk=args.pixel_chunk, accel=accel)
+    if args.renderer == "wavefront":
+        from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
 
-    film = film_mod.new_film(settings)
-    t0 = time.time()
-    film = film_mod.add_samples(
-        scene, settings, film, args.spp, pixel_chunk=args.pixel_chunk, accel=accel
-    )
-    dt = time.time() - t0
-    mrays = film.rays_traced / dt / 1e6
+        import dataclasses
+
+        # warm-up/compile with a 1-spp config of the same shapes
+        warm_settings = dataclasses.replace(settings, max_samples=1)
+        render_image_wavefront(scene, warm_settings, accel=accel, lanes=args.lanes)
+        t0 = time.time()
+        _, rays = render_image_wavefront(scene, settings, accel=accel, lanes=args.lanes)
+        dt = time.time() - t0
+    else:
+        warm = film_mod.new_film(settings)
+        warm = film_mod.add_samples(scene, settings, warm, 1, pixel_chunk=args.pixel_chunk, accel=accel)
+        film = film_mod.new_film(settings)
+        t0 = time.time()
+        film = film_mod.add_samples(
+            scene, settings, film, args.spp, pixel_chunk=args.pixel_chunk, accel=accel
+        )
+        dt = time.time() - t0
+        rays = film.rays_traced
+    mrays = rays / dt / 1e6
 
     print(
         json.dumps(
             {
-                "metric": f"fwd Mrays/s ({args.scene} {args.size}^2 spp={args.spp} depth={args.depth}, cluster intersector)",
+                "metric": f"fwd Mrays/s ({args.scene} {args.size}^2 spp={args.spp} depth={args.depth}, cluster intersector, {args.renderer})",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 50.0, 4),
