@@ -75,3 +75,29 @@ def next_f32_n(state: jnp.ndarray, n: int):
         vals.append(v)
         states.append(s)
     return jnp.stack(vals), jnp.stack(states)
+
+
+# ── threefry (jax.random) fast path ────────────────────────────────────────
+# The parity LCG above exists for bit-parity with the reference stream; for
+# pure-throughput rendering a counter-based threefry stream is the idiomatic
+# TPU choice (splittable, no carried state).  These helpers give integrators
+# a uniform API over pixel/sample-indexed draws.
+
+
+def threefry_uniform(seed: int, shape, fold_data=None):
+    """Stateless uniform [0,1) draws; fold_data (any int array) decorrelates
+    per-pixel/per-sample streams."""
+    import jax
+
+    key = jax.random.key(seed)
+    if fold_data is not None:
+        key = jax.random.fold_in(key, fold_data)
+    return jax.random.uniform(key, shape, jnp.float32)
+
+
+def threefry_per_lane(seed: int, lane_ids: jnp.ndarray, n_draws: int):
+    """[len(lane_ids), n_draws] uniforms, one independent stream per lane."""
+    import jax
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(seed), i))(lane_ids)
+    return jax.vmap(lambda k: jax.random.uniform(k, (n_draws,), jnp.float32))(keys)

@@ -60,3 +60,16 @@ def test_next_f32_n_chains():
         v, s = rng.next_f32(s)
         np.testing.assert_array_equal(np.asarray(vals[i]), np.asarray(v))
         np.testing.assert_array_equal(np.asarray(states[i]), np.asarray(s))
+
+
+def test_threefry_helpers():
+    from owl_path_tracer_tpu.ops.rng import threefry_per_lane, threefry_uniform
+
+    u = threefry_uniform(7, (1000,))
+    v = np.asarray(u)
+    assert (v >= 0).all() and (v < 1).all() and abs(v.mean() - 0.5) < 0.05
+    lanes = threefry_per_lane(7, jnp.arange(64, dtype=jnp.uint32), 8)
+    a = np.asarray(lanes)
+    assert a.shape == (64, 8)
+    # distinct lanes give distinct streams
+    assert not np.allclose(a[0], a[1])
