@@ -223,9 +223,10 @@ def ensure_assets(dragon_sub=6):
         p = HERE / name
         if not p.exists():
             fn(p)
-    tex = HERE / "cube-textures" / "cube.png"
-    if not tex.exists():
-        gen_cube_texture(tex)
+    for tex in (HERE / "cube-textures" / "cube.png",
+                HERE / "Ground-textures" / "uv-texture.png"):
+        if not tex.exists():
+            gen_cube_texture(tex)
 
 
 def main():
