@@ -42,6 +42,7 @@ class PoolState(NamedTuple):
     alive: jnp.ndarray  # lane is tracing a live path
     prev_lobe: jnp.ndarray
     depth: jnp.ndarray
+    prev_pdf: jnp.ndarray  # MIS pdf of the spawning BSDF sample (NEE mode)
     work_counter: jnp.ndarray  # scalar i32: next work item to hand out
     acc: jnp.ndarray  # [W*H,3] film accumulator (scatter-add)
     rays: jnp.ndarray  # scalar i32 rays traced
@@ -75,9 +76,12 @@ def wavefront_step(
     intersect_fn: Callable,
     enable_textures: bool,
     total_work: int,
+    lights=None,
+    occlude_fn: Callable | None = None,
+    env_light=None,
 ) -> PoolState:
     """One bounce for every lane + regeneration of finished lanes."""
-    # --- trace one bounce using the shared parity bounce kernel ---
+    # --- trace one bounce (parity kernel, or NEE/MIS when lights given) ---
     ps = integrator.PathState(
         ray_o=st.ray_o,
         ray_d=st.ray_d,
@@ -87,10 +91,22 @@ def wavefront_step(
         alive=st.alive,
         prev_lobe=st.prev_lobe,
         depth=st.depth,
-        prev_pdf=jnp.zeros_like(st.rng, jnp.float32),
+        prev_pdf=st.prev_pdf,
     )
     rays = st.rays + jnp.sum(ps.alive.astype(jnp.int32))
-    ps = integrator.trace_bounce(scene, settings, ps, intersect_fn, enable_textures)
+    use_nee = settings.use_nee and occlude_fn is not None and (
+        lights is not None or env_light is not None
+    )
+    if use_nee:
+        # path regeneration has no "last bounce", so transport order is
+        # bounded by depth exhaustion rather than the allow_nee trick
+        ps = integrator.trace_bounce_nee(
+            scene, settings, lights, ps, intersect_fn, occlude_fn,
+            enable_textures, allow_nee=ps.depth < settings.max_path_depth - 1,
+            env_light=env_light,
+        )
+    else:
+        ps = integrator.trace_bounce(scene, settings, ps, intersect_fn, enable_textures)
     # depth exhaustion also terminates a path
     exhausted = ps.alive & (ps.depth >= settings.max_path_depth)
     path_done = st.alive & (~ps.alive | exhausted)
@@ -127,6 +143,7 @@ def wavefront_step(
         alive=jnp.where(can_spawn, True, keep_alive),
         prev_lobe=sel(jnp.full_like(st.prev_lobe, disney.LOBE_NONE), ps.prev_lobe),
         depth=sel(jnp.zeros_like(st.depth), ps.depth),
+        prev_pdf=sel(jnp.zeros_like(st.prev_pdf), ps.prev_pdf),
         work_counter=st.work_counter + handed_out,
         acc=acc,
         rays=rays,
@@ -134,19 +151,31 @@ def wavefront_step(
 
 
 @partial(jax.jit, static_argnames=("settings", "enable_textures", "total_work", "iters", "accel_kind"))
-def _run_chunk(scene, settings, st, accel, enable_textures, total_work, iters, accel_kind):
-    from ..ops.cluster import make_cluster_intersector
-    from ..ops.traverse import make_bvh_intersector
+def _run_chunk(scene, settings, st, accel, enable_textures, total_work, iters, accel_kind, lights, env_light):
+    from ..ops.cluster import cluster_occluded, make_cluster_intersector
+    from ..ops.traverse import bvh_occluded, make_bvh_intersector
 
     if accel_kind == "cluster":
         intersect_fn = make_cluster_intersector(accel)
+
+        def occlude_fn(p, d, dist):
+            return cluster_occluded(p, d, accel, t_max=dist)
+
     elif accel_kind == "bvh":
         intersect_fn = make_bvh_intersector(accel)
+
+        def occlude_fn(p, d, dist):
+            return bvh_occluded(p, d, accel, t_max=dist)
+
     else:
         intersect_fn = integrator.make_brute_intersector(scene)
+        occlude_fn = integrator.make_brute_occluder(scene)
 
     def body(st, _):
-        return wavefront_step(scene, settings, st, intersect_fn, enable_textures, total_work), None
+        return wavefront_step(
+            scene, settings, st, intersect_fn, enable_textures, total_work,
+            lights=lights, occlude_fn=occlude_fn, env_light=env_light,
+        ), None
 
     st, _ = jax.lax.scan(body, st, None, length=iters)
     return st
@@ -176,6 +205,18 @@ def render_image_wavefront(
     enable_textures = scene_has_textures(scene)
     total_work = settings.width * settings.height * settings.max_samples
 
+    lights = None
+    env_light = None
+    if settings.use_nee:
+        from ..models.envlight import build_env_light
+        from ..models.lights import build_light_table
+
+        lights = build_light_table(scene)
+        if settings.environment_use:
+            env_light = build_env_light(
+                np.asarray(scene.env_map), settings.environment_intensity
+            )
+
     st = PoolState(
         pixel=jnp.zeros((lanes,), jnp.int32),
         ray_o=jnp.zeros((lanes, 3), jnp.float32),
@@ -186,6 +227,7 @@ def render_image_wavefront(
         alive=jnp.zeros((lanes,), bool),  # all lanes idle -> spawn on step 1
         prev_lobe=jnp.full((lanes,), disney.LOBE_NONE, jnp.int32),
         depth=jnp.zeros((lanes,), jnp.int32),
+        prev_pdf=jnp.zeros((lanes,), jnp.float32),
         work_counter=jnp.int32(0),
         acc=jnp.zeros((settings.width * settings.height, 3), jnp.float32),
         rays=jnp.int32(0),
@@ -194,7 +236,7 @@ def render_image_wavefront(
     for _ in range(max_launches):
         st = _run_chunk(
             scene, settings, st, accel, enable_textures, total_work,
-            iters_per_launch, accel_kind,
+            iters_per_launch, accel_kind, lights, env_light,
         )
         done = int(st.work_counter) >= total_work and not bool(np.asarray(st.alive).any())
         if done:

@@ -33,3 +33,16 @@ def test_wavefront_completes_all_work():
     # every pixel got all its samples: background pixels exactly env value
     np.testing.assert_allclose(img[0, 0], 1.0, atol=1e-5)
     np.testing.assert_allclose(img[-1, -1], 1.0, atol=1e-5)
+
+
+def test_wavefront_nee_matches_scan_nee():
+    from test_nee import box_with_light
+    scene = box_with_light()
+    s = RenderSettings(width=16, height=16, max_samples=24, max_path_depth=3,
+                       environment_intensity=0.0, environment_color=(0, 0, 0),
+                       use_nee=True)
+    img_std = film_mod.render_image(scene, s, pixel_chunk=256)
+    img_wf, _ = wf.render_image_wavefront(scene, s, lanes=1024, iters_per_launch=8)
+    lit = img_std.mean(-1) > 0.05
+    assert lit.mean() > 0.3
+    np.testing.assert_allclose(img_wf[lit].mean(), img_std[lit].mean(), rtol=0.05)
