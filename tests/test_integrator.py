@@ -164,3 +164,39 @@ def test_corrected_vs_parity_diffuse_identical():
     img_p = render(scene, RenderSettings(**base, parity=True))
     img_c = render(scene, RenderSettings(**base, parity=False))
     np.testing.assert_array_equal(img_p, img_c)
+
+
+@pytest.mark.parametrize("rough,lo,hi", [(0.0, 0.85, 1.05), (1.0, 0.12, 0.45)])
+def test_furnace_metal_lobe(rough, lo, hi):
+    """Automated version of the thesis furnace images (furnace_test_*.png):
+    pure metal sphere, white furnace.  Bounds from the measured directional
+    albedo of this single-scattering formulation: ~1 at mirror roughness,
+    ~0.19 at alpha=1 (G2/G1 loss + discarded below-horizon reflections; no
+    multiple-scattering compensation, same class of darkening the reference
+    exhibits)."""
+    mat = material_mod.single(base_color=(1, 1, 1), metallic=1.0,
+                              roughness=rough, specular=0.0)
+    scene = sphere_scene(mat)
+    s = RenderSettings(width=24, height=24, max_samples=12, max_path_depth=3,
+                       environment_color=(1, 1, 1), environment_intensity=1.0,
+                       parity=False)
+    img = render(scene, s)
+    assert np.isfinite(img).all()
+    center = img[8:16, 8:16].mean()
+    assert lo <= center <= hi, (rough, center)
+    assert img.max() < 2.5
+
+
+def test_furnace_glass_transmission():
+    """Glass sphere in a furnace: transmission+reflection should roughly
+    conserve (sqrt(base_color)=1 tint, eta^2 terms cancel over the path)."""
+    mat = material_mod.single(base_color=(1, 1, 1), metallic=0.0,
+                              specular_transmission=1.0, roughness=0.1,
+                              specular_transmission_roughness=0.0, ior=1.5)
+    scene = sphere_scene(mat)
+    s = RenderSettings(width=24, height=24, max_samples=24, max_path_depth=8,
+                       environment_color=(1, 1, 1), environment_intensity=1.0)
+    img = render(scene, s)
+    assert np.isfinite(img).all()
+    center = img[10:14, 10:14].mean()
+    assert 0.5 <= center <= 1.6, center
