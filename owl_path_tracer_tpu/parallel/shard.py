@@ -19,7 +19,6 @@ driver validates the multi-chip path through ``__graft_entry__.dryrun_multichip`
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

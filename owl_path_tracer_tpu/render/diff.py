@@ -19,7 +19,7 @@ the inverse-rendering counterpart of the reference's forward sweeps
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ import numpy as np
 from ..models.material import Materials
 from ..models.scene import RenderSettings, Scene
 from ..ops import rng as rng_mod
-from . import film as film_mod
 from . import integrator
 
 # material fields that are physically constrained to [0,1]

@@ -18,12 +18,10 @@ from __future__ import annotations
 
 import argparse
 import pathlib
-import sys
 import time
 
 import numpy as np
 
-from ..models import material as material_mod
 from ..models.scene import RenderSettings, Scene, compile_scene
 from ..render import film as film_mod
 from .image import quantize_rgba8, write_png_rgba8

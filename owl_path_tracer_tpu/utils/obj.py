@@ -21,7 +21,6 @@ the semantic reference.
 from __future__ import annotations
 
 import dataclasses
-import pathlib
 from typing import List, Tuple
 
 import numpy as np
