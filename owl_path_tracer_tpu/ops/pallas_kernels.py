@@ -61,15 +61,22 @@ def _mt_kernel(c: int, b: int, cid_ref, rays_ref, blob_ref, tid_ref, out_ref, tr
         & (t < best_t[:, None])
     )
     t = jnp.where(ok, t, jnp.inf)
+    # gather-free winner selection (Mosaic can't lower per-row gathers):
+    # one-hot of the argmin column, resolved by masked reductions
     j = jnp.argmin(t, axis=-1)  # [B]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
-    tj = t[rows, j]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    onehot = cols == j[:, None]
+    tj = jnp.min(t, axis=-1)
     hit = jnp.isfinite(tj)
+    pick = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=-1)
     out_ref[0, :, 0] = jnp.where(hit, tj, jnp.inf)
-    out_ref[0, :, 1] = u[rows, j]
-    out_ref[0, :, 2] = v[rows, j]
+    out_ref[0, :, 1] = pick(u)
+    out_ref[0, :, 2] = pick(v)
     out_ref[0, :, 3] = hit.astype(jnp.float32)
-    tri_ref[0, :, 0] = jnp.where(hit, tid[j], -1)
+    tid_b = jnp.broadcast_to(tid[None, :], (b, c))
+    tri_ref[0, :, 0] = jnp.where(
+        hit, jnp.max(jnp.where(onehot, tid_b, -1), axis=-1), -1
+    )
 
 
 @partial(jax.jit, static_argnames=("interpret",))
