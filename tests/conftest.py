@@ -24,3 +24,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Generated substitute assets (assets/generate.py) are gitignored; regenerate
+# them on a fresh checkout so scene-loading tests are self-sufficient.
+if not os.path.exists(os.path.join(REPO_ROOT, "assets", "sphere.obj.scene")):
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "assets", "generate.py")],
+        check=True,
+        cwd=REPO_ROOT,
+    )
