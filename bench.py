@@ -58,11 +58,10 @@ def main():
     if args.renderer == "wavefront":
         from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
 
-        import dataclasses
-
-        # warm-up/compile with a 1-spp config of the same shapes
-        warm_settings = dataclasses.replace(settings, max_samples=1)
-        render_image_wavefront(scene, warm_settings, accel=accel, lanes=args.lanes)
+        # warm-up/compile with the IDENTICAL static config (spp is static in
+        # the jitted chunk, so a different-spp warm-up would not prime the
+        # compile cache and the timed run would include ~25 s of compilation)
+        render_image_wavefront(scene, settings, accel=accel, lanes=args.lanes)
         t0 = time.time()
         _, rays = render_image_wavefront(scene, settings, accel=accel, lanes=args.lanes)
         dt = time.time() - t0

@@ -42,11 +42,8 @@ _EPS_DET = 1e-12
 class ClusterBVH(NamedTuple):
     cmin: jnp.ndarray  # [K,3] cluster AABB min (K padded to 128; pads empty)
     cmax: jnp.ndarray  # [K,3]
-    tri_p0: jnp.ndarray  # [K,C,3]
-    tri_e1: jnp.ndarray  # [K,C,3]
-    tri_e2: jnp.ndarray  # [K,C,3]
+    tri_planes: jnp.ndarray  # [K,9,C] component planes p0x,p0y,p0z,e1x..e2z
     tri_id: jnp.ndarray  # [K,C] original tri ids, -1 = padding
-    tri_blob: jnp.ndarray  # [K, C*9] fused (p0,e1,e2) rows -- one gather/step
 
     @property
     def num_clusters(self) -> int:
@@ -54,7 +51,7 @@ class ClusterBVH(NamedTuple):
 
     @property
     def cluster_size(self) -> int:
-        return self.tri_p0.shape[1]
+        return self.tri_planes.shape[2]
 
 
 def build_clusters(vertices: np.ndarray, tri_idx: np.ndarray, cluster_size: int = 128) -> ClusterBVH:
@@ -92,24 +89,29 @@ def build_clusters(vertices: np.ndarray, tri_idx: np.ndarray, cluster_size: int 
             rows[:cnt, 6:9] = v[t[:, 2]] - a
             tid[j, :cnt] = ids
 
-    # pad K to a multiple of 128 (TPU lane width) with never-hit boxes
+    # pad K to a multiple of 128 (TPU lane width) with never-hit boxes.
+    # NB: pads must be DEGENERATE POINTS AT INFINITY (bmin == bmax == +big),
+    # not inverted boxes (bmin=+big, bmax=-big): the slab test's per-axis
+    # min/max turns an inverted box into an ALWAYS-hit box at t_min, which
+    # made every ray walk every pad cluster and trip the exact-overflow
+    # continuation on every wave (~12x traversal cost before this fix).
     k_pad = (-k) % 128
     if k_pad:
         inf = np.float32(3e37)
         cmin = np.concatenate([cmin, np.full((k_pad, 3), inf, np.float32)])
-        cmax = np.concatenate([cmax, np.full((k_pad, 3), -inf, np.float32)])
+        cmax = np.concatenate([cmax, np.full((k_pad, 3), inf, np.float32)])
         blob = np.concatenate([blob, np.zeros((k_pad, c * 9), np.float32)])
         tid = np.concatenate([tid, np.full((k_pad, c), -1, np.int32)])
 
-    b3 = blob.reshape(-1, c, 9)
+    # component-plane layout: [K,9,C] so every in-kernel slice is a [*,C]
+    # contiguous plane with C in the 128-lane minor dim (a [*,C,3] layout
+    # with a 3-wide minor axis costs ~10x in VPU/HBM efficiency)
+    planes = np.ascontiguousarray(blob.reshape(-1, c, 9).transpose(0, 2, 1))
     return ClusterBVH(
         cmin=jnp.asarray(cmin),
         cmax=jnp.asarray(cmax),
-        tri_p0=jnp.asarray(np.ascontiguousarray(b3[..., 0:3])),
-        tri_e1=jnp.asarray(np.ascontiguousarray(b3[..., 3:6])),
-        tri_e2=jnp.asarray(np.ascontiguousarray(b3[..., 6:9])),
+        tri_planes=jnp.asarray(planes),
         tri_id=jnp.asarray(tid),
-        tri_blob=jnp.asarray(blob),
     )
 
 
@@ -139,42 +141,44 @@ def _cluster_entries(ray_o, ray_d, cb: ClusterBVH, t_min, t_max):
 def _intersect_cluster(ray_o, ray_d, cb: ClusterBVH, cid, t_min, best_t):
     """Dense [N,C] MT test of each ray against its chosen cluster.
 
-    Triangle data arrives via ONE blob gather ([N, C*9], 36*C contiguous
-    bytes per ray) -- large-slice gathers are the efficient shape on TPU.
+    Two hardware rules shape this kernel (measured, docs/PERF.md):
+      * triangle data arrives via ONE plane gather ([N,9,C], 36*C contiguous
+        bytes per ray) and ALL math is component-form [N,C] with C in the
+        128-lane minor dim -- never a [N,C,3] intermediate;
+      * the winner is selected gather-free (min + argmin one-hot masked
+        reductions): per-ray ``x[rows, j]`` gathers measured ~30 ms each and
+        dominated the whole wave (~1.4 s of a 1.56 s traversal).
     """
     n = ray_o.shape[0]
     c = cb.cluster_size
-    blob = cb.tri_blob[cid].reshape(n, c, 9)  # [N,C,9]
-    p0 = blob[..., 0:3]
-    e1 = blob[..., 3:6]
-    e2 = blob[..., 6:9]
+    pl = cb.tri_planes[cid]  # [N,9,C]
+    p0x, p0y, p0z = pl[:, 0], pl[:, 1], pl[:, 2]
+    e1x, e1y, e1z = pl[:, 3], pl[:, 4], pl[:, 5]
+    e2x, e2y, e2z = pl[:, 6], pl[:, 7], pl[:, 8]
     tid = cb.tri_id[cid]  # [N,C]
 
-    d = ray_d[:, None, :]
-    o = ray_o[:, None, :]
-    h = jnp.cross(d, e2)
-    det = jnp.sum(e1 * h, axis=-1)
-    inv = 1.0 / jnp.where(jnp.abs(det) < _EPS_DET, 1.0, det)
-    s = o - p0
-    u = inv * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1)
-    v = inv * jnp.sum(d * q, axis=-1)
-    t = inv * jnp.sum(e2 * q, axis=-1)
-    ok = (
-        (tid >= 0)
-        & (jnp.abs(det) >= _EPS_DET)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t < best_t[:, None])
+    from .intersect import mt_components
+
+    rc = lambda a, ax: a[:, ax, None]  # [N,1]
+    t, u, v, ok = mt_components(
+        (rc(ray_o, 0), rc(ray_o, 1), rc(ray_o, 2)),
+        (rc(ray_d, 0), rc(ray_d, 1), rc(ray_d, 2)),
+        (p0x, p0y, p0z),
+        (e1x, e1y, e1z),
+        (e2x, e2y, e2z),
+        t_min,
+        best_t[:, None],
     )
+    ok &= tid >= 0
     t = jnp.where(ok, t, jnp.inf)
+    # gather-free winner selection: argmin one-hot resolved by masked reductions
     j = jnp.argmin(t, axis=-1)
-    rows = jnp.arange(n)
-    tj = t[rows, j]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1) == j[:, None]
+    tj = jnp.min(t, axis=-1)
     hit = jnp.isfinite(tj)
-    return tj, jnp.where(hit, tid[rows, j], -1), jnp.stack([u[rows, j], v[rows, j]], -1), hit
+    pick = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=-1)
+    tri = jnp.max(jnp.where(onehot, tid, -1), axis=-1)
+    return tj, jnp.where(hit, tri, -1), jnp.stack([pick(u), pick(v)], -1), hit
 
 
 MAX_CANDIDATES = 16
@@ -239,41 +243,37 @@ def _binned_intersect(ray_o, ray_d, cb, cid, t_min, best_t, block: int = 64):
     bt_b = pack(best_t, fill=-1.0)  # fill<t_min => padded lanes can't hit
     valid_b = jnp.zeros((nb, block), bool).at[block_idx, slot].set(True)
 
-    blob = cb.tri_blob[block_cid].reshape(nb, c, 9)
-    p0 = blob[..., 0:3]
-    e1 = blob[..., 3:6]
-    e2 = blob[..., 6:9]
+    pl = cb.tri_planes[block_cid]  # [NB,9,C]
+    comp = lambda p: pl[:, p, None, :]  # [NB,1,C]
+    p0x, p0y, p0z = comp(0), comp(1), comp(2)
+    e1x, e1y, e1z = comp(3), comp(4), comp(5)
+    e2x, e2y, e2z = comp(6), comp(7), comp(8)
     tid = cb.tri_id[block_cid]  # [NB,C]
 
-    d4 = d_b[:, :, None, :]
-    o4 = o_b[:, :, None, :]
-    h = jnp.cross(d4, e2[:, None, :, :])
-    det = jnp.sum(e1[:, None, :, :] * h, axis=-1)  # [NB,B,C]
-    inv = 1.0 / jnp.where(jnp.abs(det) < _EPS_DET, 1.0, det)
-    s = o4 - p0[:, None, :, :]
-    u = inv * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1[:, None, :, :])
-    v = inv * jnp.sum(d4 * q, axis=-1)
-    t = inv * jnp.sum(e2[:, None, :, :] * q, axis=-1)
-    ok = (
-        valid_b[:, :, None]
-        & (tid[:, None, :] >= 0)
-        & (jnp.abs(det) >= _EPS_DET)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t < bt_b[:, :, None])
+    from .intersect import mt_components
+
+    rc = lambda a, ax: a[..., ax, None]  # [NB,B,1]
+    t, u, v, ok = mt_components(
+        (rc(o_b, 0), rc(o_b, 1), rc(o_b, 2)),
+        (rc(d_b, 0), rc(d_b, 1), rc(d_b, 2)),
+        (p0x, p0y, p0z),
+        (e1x, e1y, e1z),
+        (e2x, e2y, e2z),
+        t_min,
+        bt_b[:, :, None],
     )
+    ok &= valid_b[:, :, None] & (tid[:, None, :] >= 0)
     t = jnp.where(ok, t, jnp.inf)
+    # gather-free winner selection over the C axis
     j = jnp.argmin(t, axis=-1)  # [NB,B]
-    rb = jnp.arange(nb)[:, None]
-    sb = jnp.arange(block)[None, :]
-    tj = t[rb, sb, j]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2) == j[..., None]
+    tj = jnp.min(t, axis=-1)
     hit_b = jnp.isfinite(tj)
-    tri_b = jnp.where(hit_b, jnp.take_along_axis(tid, j, axis=1), -1)
-    u_b = u[rb, sb, j]
-    v_b = v[rb, sb, j]
+    pick3 = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=-1)
+    tri_b = jnp.max(jnp.where(onehot, tid[:, None, :], -1), axis=-1)
+    tri_b = jnp.where(hit_b, tri_b, -1)
+    u_b = pick3(u)
+    v_b = pick3(v)
 
     # unpack back to original ray order
     inv_perm = jnp.argsort(perm)
@@ -372,8 +372,40 @@ def cluster_closest_hit(
 
     def run_overflow(args):
         best_t, best_tri, best_uv = args
-        # retire the clusters already visited via the candidate lists
-        ent = entries.at[rows[:, None], top_idx].set(jnp.inf)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, entries.shape, 1)
+
+        def retire(ent, idx):
+            # gather/scatter-free: mask out the kc candidate columns in idx
+            vis = jnp.zeros(ent.shape, bool)
+            for i in range(kc):
+                vis |= k_iota == jax.lax.dynamic_slice_in_dim(idx, i, 1, 1)
+            return jnp.where(vis, jnp.inf, ent)
+
+        ent0 = retire(entries, top_idx)
+
+        def walk(ent, best_t, best_tri, best_uv):
+            """One batch: next-kc-nearest clusters per ray, column walk."""
+            neg, ti = jax.lax.top_k(-ent, kc)
+            ct = -neg
+
+            def body(i, st):
+                best_t, best_tri, best_uv = st
+                cur_t = jax.lax.dynamic_slice_in_dim(ct, i, 1, axis=1)[:, 0]
+                cid = jax.lax.dynamic_slice_in_dim(ti, i, 1, axis=1)[:, 0]
+                if any_hit:
+                    active = jnp.isfinite(cur_t) & (best_tri < 0)
+                else:
+                    active = cur_t < best_t
+                cid_safe = jnp.where(active, cid, 0)
+                lt, ltri, luv, lhit = _intersect_cluster(ray_o, ray_d, cb, cid_safe, t_min, best_t)
+                better = active & lhit & (lt < best_t)
+                best_t = jnp.where(better, lt, best_t)
+                best_tri = jnp.where(better, ltri, best_tri)
+                best_uv = jnp.where(better[:, None], luv, best_uv)
+                return (best_t, best_tri, best_uv)
+
+            best_t, best_tri, best_uv = jax.lax.fori_loop(0, kc, body, (best_t, best_tri, best_uv))
+            return retire(ent, ti), best_t, best_tri, best_uv
 
         def need2(ent, best_t, best_tri):
             nearest = ent.min(axis=-1)
@@ -386,19 +418,9 @@ def cluster_closest_hit(
             return jnp.any(need2(ent, best_t, best_tri))
 
         def body2(st):
-            ent, best_t, best_tri, best_uv = st
-            active = need2(ent, best_t, best_tri)
-            cid = jnp.argmin(ent, axis=-1)
-            ent = ent.at[rows, cid].set(jnp.inf)
-            cid_safe = jnp.where(active, cid, 0)
-            lt, ltri, luv, lhit = _intersect_cluster(ray_o, ray_d, cb, cid_safe, t_min, best_t)
-            better = active & lhit & (lt < best_t)
-            best_t = jnp.where(better, lt, best_t)
-            best_tri = jnp.where(better, ltri, best_tri)
-            best_uv = jnp.where(better[:, None], luv, best_uv)
-            return (ent, best_t, best_tri, best_uv)
+            return walk(*st)
 
-        _, bt, btri, buv = jax.lax.while_loop(cond2, body2, (ent, best_t, best_tri, best_uv))
+        _, bt, btri, buv = jax.lax.while_loop(cond2, body2, (ent0, best_t, best_tri, best_uv))
         return bt, btri, buv
 
     best_t, best_tri, best_uv = jax.lax.cond(

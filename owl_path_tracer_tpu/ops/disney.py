@@ -497,8 +497,14 @@ def sample(mat, wo, state, prev_lobe, corrected: bool = False) -> BsdfSample:
     )
 
     consumed = jnp.where(sel_glass, consumed_g, 3)
-    # states: [6, N]; select states[consumed-1] per ray
-    new_state = jnp.take_along_axis(states, (consumed - 1)[None, ...], axis=0)[0]
+    # states: [6, N]; select states[consumed-1] per ray.  consumed is in
+    # {3,4,5,6}; a where-chain over the four rows beats a take_along_axis
+    # gather (per-element gathers measured ~30 ms/op on this backend)
+    new_state = jnp.where(
+        consumed == 3,
+        states[2],
+        jnp.where(consumed == 4, states[3], jnp.where(consumed == 5, states[4], states[5])),
+    )
 
     f = f + eval_sheen(mat, wo, wi)
     # Detached-sampling adjoints (radiative-backprop style): the *sample* --

@@ -39,19 +39,37 @@ class HitRecord(NamedTuple):
         return self.tri >= 0
 
 
-def _tri_chunk_hits(ray_o, ray_d, p0, p1, p2, t_min, t_max):
-    """All-pairs MT test: rays [N,3] x chunk [C,3] -> t [N,C], u, v, valid."""
-    e1 = p1 - p0  # [C,3]
-    e2 = p2 - p0
-    # h = d x e2 : [N,C,3]
-    h = jnp.cross(ray_d[:, None, :], e2[None, :, :])
-    det = jnp.sum(e1[None, :, :] * h, axis=-1)  # [N,C]
+def mt_components(o_c, d_c, p0_c, e1_c, e2_c, t_min, t_max):
+    """Möller-Trumbore in component form -- THE canonical op ordering.
+
+    Every intersector (brute, BVH traversal, cluster, Pallas) calls this with
+    already-broadcastable per-component operands so (a) no [..,3]-minor-axis
+    intermediates exist anywhere on the hot path (they cost ~10x on the VPU),
+    and (b) float op order is identical across intersectors, keeping renders
+    bitwise-equal between them (tests/test_golden.py).
+
+    o_c/d_c/p0_c/e1_c/e2_c: 3-tuples of broadcastable component arrays.
+    Returns (t, u, v, valid) in the broadcast shape.
+    """
+    ox, oy, oz = o_c
+    dx, dy, dz = d_c
+    p0x, p0y, p0z = p0_c
+    e1x, e1y, e1z = e1_c
+    e2x, e2y, e2z = e2_c
+    # h = d x e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
     inv = 1.0 / jnp.where(jnp.abs(det) < _EPS_DET, 1.0, det)
-    s = ray_o[:, None, :] - p0[None, :, :]  # [N,C,3]
-    u = inv * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1[None, :, :])
-    v = inv * jnp.sum(ray_d[:, None, :] * q, axis=-1)
-    t = inv * jnp.sum(e2[None, :, :] * q, axis=-1)
+    sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+    u = inv * (sx * hx + sy * hy + sz * hz)
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = inv * (dx * qx + dy * qy + dz * qz)
+    t = inv * (e2x * qx + e2y * qy + e2z * qz)
     valid = (
         (jnp.abs(det) >= _EPS_DET)
         & (u >= 0.0)
@@ -61,6 +79,23 @@ def _tri_chunk_hits(ray_o, ray_d, p0, p1, p2, t_min, t_max):
         & (t < t_max)
     )
     return t, u, v, valid
+
+
+def _tri_chunk_hits(ray_o, ray_d, p0, p1, p2, t_min, t_max):
+    """All-pairs MT test: rays [N,3] x chunk [C,3] -> t [N,C], u, v, valid."""
+    e1 = p1 - p0  # [C,3]
+    e2 = p2 - p0
+    comp = lambda a, ax: a[None, :, ax]  # [1,C]
+    rcomp = lambda a, ax: a[:, ax, None]  # [N,1]
+    return mt_components(
+        (rcomp(ray_o, 0), rcomp(ray_o, 1), rcomp(ray_o, 2)),
+        (rcomp(ray_d, 0), rcomp(ray_d, 1), rcomp(ray_d, 2)),
+        (comp(p0, 0), comp(p0, 1), comp(p0, 2)),
+        (comp(e1, 0), comp(e1, 1), comp(e1, 2)),
+        (comp(e2, 0), comp(e2, 1), comp(e2, 2)),
+        t_min,
+        t_max,
+    )
 
 
 @partial(jax.jit, static_argnames=("tri_chunk",))
@@ -102,15 +137,18 @@ def closest_hit_brute(
         t, u, v, valid = _tri_chunk_hits(ray_o, ray_d, p0, p1, p2, t_min, t_max)
         valid &= (cid < t_count)[None, :]
         t = jnp.where(valid, t, jnp.inf)
+        # gather-free winner selection (see ops/cluster.py): per-ray
+        # x[rows, j] gathers measured ~30 ms each on TPU
         j = jnp.argmin(t, axis=-1)  # [N]
-        rows = jnp.arange(n)
-        tj = t[rows, j]
+        onehot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == j[:, None]
+        tj = jnp.min(t, axis=-1)
+        pick = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=-1)
         better = tj < best_t
-        best_tri = jnp.where(better, cid[j], best_tri)
+        best_tri = jnp.where(
+            better, jnp.max(jnp.where(onehot, cid[None, :], -1), axis=-1), best_tri
+        )
         best_uv = jnp.where(
-            better[:, None],
-            jnp.stack([u[rows, j], v[rows, j]], axis=-1),
-            best_uv,
+            better[:, None], jnp.stack([pick(u), pick(v)], axis=-1), best_uv
         )
         best_t = jnp.where(better, tj, best_t)
         return (best_t, best_tri, best_uv), None

@@ -27,39 +27,36 @@ _EPS_DET = 1e-12
 
 
 def _mt_kernel(c: int, b: int, cid_ref, rays_ref, blob_ref, tid_ref, out_ref, tri_ref):
-    """One bin: rays_ref [1,B,8] (o,d,best_t,valid), blob_ref [1,1,C*9],
-    tid_ref [1,1,C] -> out_ref [1,B,4] (t,u,v,hit), tri_ref [1,B,1]."""
+    """One bin: rays_ref [1,B,8] (o,d,best_t,valid), blob_ref [1,9,C] component
+    planes, tid_ref [1,1,C] -> out_ref [1,B,4] (t,u,v,hit), tri_ref [1,B,1].
+
+    Component-form math only: every intermediate is [B,1], [1,C] or [B,C] --
+    no 3-wide minor axes and no reshapes (Mosaic rejects the [C*9]->[C,9]
+    shape cast and lowers 3-minor layouts poorly)."""
     rays = rays_ref[0]  # [B,8]
-    o = rays[:, 0:3][:, None, :]  # [B,1,3]
-    d = rays[:, 3:6][:, None, :]
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]  # [B,1]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     best_t = rays[:, 6]
     valid = rays[:, 7] > 0.0
 
-    blob = blob_ref[0, 0].reshape(c, 9)
-    p0 = blob[:, 0:3][None, :, :]  # [1,C,3]
-    e1 = blob[:, 3:6][None, :, :]
-    e2 = blob[:, 6:9][None, :, :]
+    comp = lambda p: blob_ref[0, p : p + 1, :]  # [1,C]
+    p0x, p0y, p0z = comp(0), comp(1), comp(2)
+    e1x, e1y, e1z = comp(3), comp(4), comp(5)
+    e2x, e2y, e2z = comp(6), comp(7), comp(8)
     tid = tid_ref[0, 0]  # [C]
 
-    h = jnp.cross(d, e2)
-    det = jnp.sum(e1 * h, axis=-1)  # [B,C]
-    inv = 1.0 / jnp.where(jnp.abs(det) < _EPS_DET, 1.0, det)
-    s = o - p0
-    u = inv * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1)
-    v = inv * jnp.sum(d * q, axis=-1)
-    t = inv * jnp.sum(e2 * q, axis=-1)
-    t_min = m.T_MIN
-    ok = (
-        valid[:, None]
-        & (tid[None, :] >= 0)
-        & (jnp.abs(det) >= _EPS_DET)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t < best_t[:, None])
+    from .intersect import mt_components
+
+    t, u, v, ok = mt_components(
+        (ox, oy, oz),
+        (dx, dy, dz),
+        (p0x, p0y, p0z),
+        (e1x, e1y, e1z),
+        (e2x, e2y, e2z),
+        m.T_MIN,
+        best_t[:, None],
     )
+    ok &= valid[:, None] & (tid[None, :] >= 0)
     t = jnp.where(ok, t, jnp.inf)
     # gather-free winner selection (Mosaic can't lower per-row gathers):
     # one-hot of the argmin column, resolved by masked reductions
@@ -80,10 +77,10 @@ def _mt_kernel(c: int, b: int, cid_ref, rays_ref, blob_ref, tid_ref, out_ref, tr
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def binned_mt_pallas(block_cid, rays_packed, tri_blob, tri_id, interpret=False):
+def binned_mt_pallas(block_cid, rays_packed, tri_planes, tri_id, interpret=False):
     """Pallas bin sweep.
 
-    block_cid [NB] i32; rays_packed [NB,B,8] f32; tri_blob [K,C*9];
+    block_cid [NB] i32; rays_packed [NB,B,8] f32; tri_planes [K,9,C];
     tri_id [K,C].  Returns (out [NB,B,4] f32, tri [NB,B] i32).
     """
     from jax.experimental import pallas as pl
@@ -91,10 +88,9 @@ def binned_mt_pallas(block_cid, rays_packed, tri_blob, tri_id, interpret=False):
 
     nb, b, _ = rays_packed.shape
     c = tri_id.shape[1]
-    k = tri_blob.shape[0]
+    k = tri_planes.shape[0]
     # Mosaic block-shape rule: each of the last two block dims must divide
-    # (8, 128) or equal the full array dim -- hence the rank-3 [K,1,*] views.
-    blob3 = tri_blob.reshape(k, 1, c * 9)
+    # (8, 128) or equal the full array dim -- hence the rank-3 [K,1,C] view.
     tid3 = tri_id.reshape(k, 1, c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -102,7 +98,7 @@ def binned_mt_pallas(block_cid, rays_packed, tri_blob, tri_id, interpret=False):
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, b, 8), lambda i, cid: (i, 0, 0)),
-            pl.BlockSpec((1, 1, c * 9), lambda i, cid: (cid[i], 0, 0)),
+            pl.BlockSpec((1, 9, c), lambda i, cid: (cid[i], 0, 0)),
             pl.BlockSpec((1, 1, c), lambda i, cid: (cid[i], 0, 0)),
         ],
         out_specs=[
@@ -118,7 +114,7 @@ def binned_mt_pallas(block_cid, rays_packed, tri_blob, tri_id, interpret=False):
             jax.ShapeDtypeStruct((nb, b, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(block_cid, rays_packed, blob3, tid3)
+    )(block_cid, rays_packed, tri_planes, tid3)
     return out, tri[..., 0]
 
 
@@ -147,7 +143,7 @@ def pallas_binned_intersect(ray_o, ray_d, cb, cid, t_min, best_t, block: int = 6
     packed = jnp.zeros((nb, block, 8), jnp.float32).at[block_idx, slot].set(rays[perm])
     # padded lanes: valid flag 0 and best_t 0 => can't hit
 
-    out, tri = binned_mt_pallas(block_cid, packed, cb.tri_blob, cb.tri_id, interpret=interpret)
+    out, tri = binned_mt_pallas(block_cid, packed, cb.tri_planes, cb.tri_id, interpret=interpret)
 
     inv_perm = jnp.argsort(perm)
 

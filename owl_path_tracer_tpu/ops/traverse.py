@@ -86,33 +86,32 @@ def _leaf_hits(ray_o, ray_d, bvh: DeviceBVH, start, count, t_min, best_t, max_le
     p0 = bvh.tri_p0[slot]  # [N,L,3]
     e1 = bvh.tri_e1[slot]
     e2 = bvh.tri_e2[slot]
+    tid = bvh.tri_id[slot]  # [N,L]
 
-    d = ray_d[:, None, :]
-    o = ray_o[:, None, :]
-    h = jnp.cross(d, e2)
-    det = jnp.sum(e1 * h, axis=-1)
-    inv = 1.0 / jnp.where(jnp.abs(det) < _EPS_DET, 1.0, det)
-    s = o - p0
-    u = inv * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1)
-    v = inv * jnp.sum(d * q, axis=-1)
-    t = inv * jnp.sum(e2 * q, axis=-1)
-    ok = (
-        in_leaf
-        & (jnp.abs(det) >= _EPS_DET)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t < best_t[:, None])
+    from .intersect import mt_components
+
+    rc = lambda a, ax: a[:, ax, None]  # [N,1]
+    cc = lambda a, ax: a[..., ax]  # [N,L]
+    t, u, v, ok = mt_components(
+        (rc(ray_o, 0), rc(ray_o, 1), rc(ray_o, 2)),
+        (rc(ray_d, 0), rc(ray_d, 1), rc(ray_d, 2)),
+        (cc(p0, 0), cc(p0, 1), cc(p0, 2)),
+        (cc(e1, 0), cc(e1, 1), cc(e1, 2)),
+        (cc(e2, 0), cc(e2, 1), cc(e2, 2)),
+        t_min,
+        best_t[:, None],
     )
+    ok &= in_leaf
     t = jnp.where(ok, t, jnp.inf)
+    # gather-free winner selection (same as ops/cluster.py)
     j = jnp.argmin(t, axis=-1)
-    rows = jnp.arange(n)
-    tj = t[rows, j]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == j[:, None]
+    tj = jnp.min(t, axis=-1)
     hit = jnp.isfinite(tj)
-    tri = jnp.where(hit, bvh.tri_id[slot[rows, j]], -1)
-    uv = jnp.stack([u[rows, j], v[rows, j]], axis=-1)
+    pick = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=-1)
+    tri = jnp.max(jnp.where(onehot, tid, -1), axis=-1)
+    tri = jnp.where(hit, tri, -1)
+    uv = jnp.stack([pick(u), pick(v)], axis=-1)
     return tj, tri, uv, hit
 
 

@@ -186,7 +186,7 @@ def render_image_wavefront(
     settings: RenderSettings,
     accel=None,
     lanes: int = 131072,
-    iters_per_launch: int = 16,
+    iters_per_launch: int = 8,
     max_launches: int = 1000,
 ) -> tuple:
     """Full-frame render via the persistent pool.

@@ -139,6 +139,115 @@ def stage_phaseb():
     print(f"steady {dt*1e3:.1f} ms -> {N/dt/1e6:.2f} Mrays/s", flush=True)
 
 
+
+
+def stage_parts():
+    """Decompose cluster_closest_hit cost: single-jit-call variants with
+    pieces removed, so the ~33ms relay dispatch floor amortizes."""
+    import jax, jax.numpy as jnp
+    from owl_path_tracer_tpu.ops import cluster as cl
+    from owl_path_tracer_tpu.ops import math as m
+    from owl_path_tracer_tpu.models.scene import compile_scene
+
+    cs = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    scene = compile_scene("assets", "dragon", (512, 512))
+    cb = cl.build_clusters(np.asarray(scene.vertices), np.asarray(scene.tri_idx), cluster_size=cs)
+    N = 65536
+    kc = 16
+    r = np.random.default_rng(0)
+    import jax.numpy as jnp
+    o = jnp.asarray(np.tile(np.asarray([[3, 1.5, 0]], np.float32), (N, 1)))
+    d = r.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    print(f"CS={cs} K={cb.num_clusters} N={N} kc={kc}", flush=True)
+
+    def timeit(name, f):
+        f()
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            f()
+            ts.append(time.time() - t0)
+        print(f"{name}: {min(ts)*1e3:.1f} ms", flush=True)
+
+    @jax.jit
+    def f_entries(o, d):
+        return jnp.sum(cl._cluster_entries(o, d, cb, m.T_MIN, m.T_MAX))
+
+    timeit("entries [N,K]", lambda: float(f_entries(o, d)))
+
+    @jax.jit
+    def f_topk(o, d):
+        e = cl._cluster_entries(o, d, cb, m.T_MIN, m.T_MAX)
+        nt, ti = jax.lax.top_k(-e, kc)
+        return jnp.sum(nt) + jnp.sum(ti)
+
+    timeit("entries+topk", lambda: float(f_topk(o, d)))
+
+    @jax.jit
+    def f_gather_only(o, d):
+        e = cl._cluster_entries(o, d, cb, m.T_MIN, m.T_MAX)
+        nt, ti = jax.lax.top_k(-e, kc)
+
+        def body(i, acc):
+            cid = jax.lax.dynamic_slice_in_dim(ti, i, 1, axis=1)[:, 0]
+            blob = cb.tri_planes[cid]
+            return acc + jnp.sum(blob, axis=(1, 2))
+
+        return jnp.sum(jax.lax.fori_loop(0, kc, body, jnp.zeros((N,))))
+
+    timeit("+16x blob row-gather only", lambda: float(f_gather_only(o, d)))
+
+    @jax.jit
+    def f_mt_onehot(o, d):
+        e = cl._cluster_entries(o, d, cb, m.T_MIN, m.T_MAX)
+        neg, ti = jax.lax.top_k(-e, kc)
+        cand_t = -neg
+        best0 = jnp.full((N,), m.T_MAX, jnp.float32)
+        state = (best0, jnp.full((N,), -1.0), jnp.zeros((N, 2)))
+
+        def body(i, st):
+            best_t, best_tri, best_uv = st
+            cur_t = jax.lax.dynamic_slice_in_dim(cand_t, i, 1, axis=1)[:, 0]
+            cid = jax.lax.dynamic_slice_in_dim(ti, i, 1, axis=1)[:, 0]
+            active = cur_t < best_t
+            cid_safe = jnp.where(active, cid, 0)
+            c = cb.cluster_size
+            pl = cb.tri_planes[cid_safe]
+            p0 = jnp.stack([pl[:,0],pl[:,1],pl[:,2]],-1); e1 = jnp.stack([pl[:,3],pl[:,4],pl[:,5]],-1); e2 = jnp.stack([pl[:,6],pl[:,7],pl[:,8]],-1)
+            tid = cb.tri_id[cid_safe].astype(jnp.float32)
+            dd = d[:, None, :]; oo = o[:, None, :]
+            h = jnp.cross(dd, e2)
+            det = jnp.sum(e1 * h, axis=-1)
+            inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+            s = oo - p0
+            u = inv * jnp.sum(s * h, axis=-1)
+            q = jnp.cross(s, e1)
+            v = inv * jnp.sum(dd * q, axis=-1)
+            t = inv * jnp.sum(e2 * q, axis=-1)
+            ok = (tid >= 0) & (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > m.T_MIN) & (t < best_t[:, None])
+            t = jnp.where(ok, t, jnp.inf)
+            # one-hot winner selection: no per-ray gathers
+            tj = jnp.min(t, axis=-1)
+            onehot = t == tj[:, None]
+            hit = jnp.isfinite(tj)
+            pick = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=-1) / jnp.maximum(jnp.sum(onehot, -1), 1)
+            better = active & hit & (tj < best_t)
+            best_t = jnp.where(better, tj, best_t)
+            best_tri = jnp.where(better, pick(jnp.broadcast_to(tid, t.shape)), best_tri)
+            best_uv = jnp.where(better[:, None], jnp.stack([pick(u), pick(v)], -1), best_uv)
+            return (best_t, best_tri, best_uv)
+
+        bt, btri, buv = jax.lax.fori_loop(0, kc, body, state)
+        return jnp.sum(bt) + jnp.sum(btri) + jnp.sum(buv)
+
+    timeit("full loop, one-hot select", lambda: float(f_mt_onehot(o, d)))
+
+    f_full = jax.jit(lambda o, d: jnp.sum(cl.cluster_closest_hit(o, d, cb).t))
+    timeit("full current (overflow=%s)" % cl.EXACT_OVERFLOW, lambda: float(f_full(o, d)))
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "health"
     globals()[f"stage_{stage}"]()
