@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--cluster-size", type=int, default=128)
+    ap.add_argument(
+        "--intersector", choices=["fused", "cluster", "bvh", "brute"], default="fused",
+        help="fused = single-Pallas-kernel traversal (TPU); cluster = XLA ray-stream",
+    )
     ap.add_argument("--pixel-chunk", type=int, default=65536)
     ap.add_argument("--renderer", choices=["wavefront", "scan"], default="wavefront")
     ap.add_argument("--lanes", type=int, default=131072)
@@ -53,7 +57,7 @@ def main():
         environment_auto=True,
         environment_intensity=1.0,
     )
-    accel = film_mod.make_accel(scene, "cluster", cluster_size=args.cluster_size)
+    accel = film_mod.make_accel(scene, args.intersector, cluster_size=args.cluster_size)
 
     if args.renderer == "wavefront":
         from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
@@ -80,7 +84,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"fwd Mrays/s ({args.scene} {args.size}^2 spp={args.spp} depth={args.depth}, cluster intersector, {args.renderer})",
+                "metric": f"fwd Mrays/s ({args.scene} {args.size}^2 spp={args.spp} depth={args.depth}, {args.intersector} intersector, {args.renderer})",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 50.0, 4),

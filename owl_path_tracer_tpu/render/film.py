@@ -58,9 +58,16 @@ def new_film(settings: RenderSettings) -> Film:
 @partial(jax.jit, static_argnames=("settings", "num_samples", "enable_textures", "tri_chunk"))
 def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, accel, lights, env_light):
     from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
+    from ..ops.fused import FusedBVH, fused_occluded, make_fused_intersector
     from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
 
-    if isinstance(accel, ClusterBVH):
+    if isinstance(accel, FusedBVH):
+        intersect_fn = make_fused_intersector(accel)
+
+        def occlude_fn(pos, direction, max_dist):
+            return fused_occluded(pos, direction, accel, t_max=max_dist)
+
+    elif isinstance(accel, ClusterBVH):
         intersect_fn = make_cluster_intersector(accel)
 
         def occlude_fn(pos, direction, max_dist):
@@ -97,12 +104,17 @@ def make_accel(scene: Scene, kind: str = "cluster", cluster_size: int = 128):
     ``cluster`` (default) is the TPU-native ray-stream intersector
     (ops/cluster.py); ``bvh`` is the per-ray-stack traversal; ``brute``
     returns None (dense sweep, exact reference for tests)."""
-    if kind == "cluster":
+    if kind in ("cluster", "fused"):
         from ..ops.cluster import build_clusters
 
-        return build_clusters(
+        cb = build_clusters(
             np.asarray(scene.vertices), np.asarray(scene.tri_idx), cluster_size=cluster_size
         )
+        if kind == "fused":
+            from ..ops.fused import build_fused
+
+            return build_fused(cb)
+        return cb
     if kind == "bvh":
         return build_scene_bvh(scene)
     if kind == "brute":

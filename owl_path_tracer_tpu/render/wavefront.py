@@ -155,7 +155,15 @@ def _run_chunk(scene, settings, st, accel, enable_textures, total_work, iters, a
     from ..ops.cluster import cluster_occluded, make_cluster_intersector
     from ..ops.traverse import bvh_occluded, make_bvh_intersector
 
-    if accel_kind == "cluster":
+    if accel_kind == "fused":
+        from ..ops.fused import fused_occluded, make_fused_intersector
+
+        intersect_fn = make_fused_intersector(accel)
+
+        def occlude_fn(p, d, dist):
+            return fused_occluded(p, d, accel, t_max=dist)
+
+    elif accel_kind == "cluster":
         intersect_fn = make_cluster_intersector(accel)
 
         def occlude_fn(p, d, dist):
@@ -194,11 +202,13 @@ def render_image_wavefront(
     Returns (image f32 [H,W,3] top-row-first, rays_traced).
     """
     from ..ops.cluster import ClusterBVH
+    from ..ops.fused import FusedBVH
     from ..ops.traverse import DeviceBVH
     from .film import scene_has_textures
 
     accel_kind = (
-        "cluster" if isinstance(accel, ClusterBVH)
+        "fused" if isinstance(accel, FusedBVH)
+        else "cluster" if isinstance(accel, ClusterBVH)
         else "bvh" if isinstance(accel, DeviceBVH)
         else "brute"
     )

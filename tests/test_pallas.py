@@ -47,3 +47,50 @@ def test_pallas_binned_respects_best_t(setup):
     _, tri, _, hit = pk.pallas_binned_intersect(o, d, cb, cid, 1e-3, bt, interpret=True)
     assert not np.asarray(hit).any()
     assert (np.asarray(tri) == -1).all()
+
+
+# ── fused single-kernel traversal (ops/fused.py) ──
+
+
+def test_fused_matches_cluster_reference(setup):
+    from owl_path_tracer_tpu.ops import fused as fu
+
+    cb, o, d, r = setup
+    fb = fu.build_fused(cb)
+    ref = cl.cluster_closest_hit(o, d, cb)
+    got = fu.fused_closest_hit(o, d, fb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    hit = np.asarray(ref.tri) >= 0
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(ref.t)[hit], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.uv)[hit], np.asarray(ref.uv)[hit], atol=1e-5
+    )
+
+
+def test_fused_overflow_falls_back_exact(setup):
+    from owl_path_tracer_tpu.ops import fused as fu
+
+    cb, o, d, r = setup
+    fb = fu.build_fused(cb)
+    ref = cl.cluster_closest_hit(o, d, cb)
+    # max_steps=1 guarantees unresolved rays -> exact XLA fallback kicks in
+    got = fu.fused_closest_hit(o, d, fb, interpret=True, max_steps=1)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+
+
+def test_fused_padding_and_per_ray_tmax(setup):
+    from owl_path_tracer_tpu.ops import fused as fu
+
+    cb, o, d, r = setup
+    fb = fu.build_fused(cb)
+    n = 100  # not a multiple of the 128-ray block
+    o, d = o[:n], d[:n]
+    ref = cl.cluster_closest_hit(o, d, cb)
+    tm = np.full((n,), 1e10, np.float32)
+    tm[::2] = np.maximum(np.asarray(ref.t)[::2] * 0.5, 1e-2)  # cull half
+    got = fu.fused_closest_hit(o, d, fb, t_max=jnp.asarray(tm), interpret=True)
+    gtri = np.asarray(got.tri)
+    assert (gtri[::2] == -1).all()
+    np.testing.assert_array_equal(gtri[1::2], np.asarray(ref.tri)[1::2])

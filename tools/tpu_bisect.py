@@ -254,3 +254,36 @@ if stage == "kc":
             eq = bool(jnp.all(r.t == ref.t) & jnp.all(r.tri == ref.tri))
             print(f"  kc={kc} bitwise-equal vs kc=2: {eq}", flush=True)
     print("OK", flush=True)
+
+if stage == "fused":
+    from owl_path_tracer_tpu.render import wavefront as wf
+    from owl_path_tracer_tpu.ops import fused as fu
+
+    settings = RenderSettings(width=256, height=256, max_samples=2, max_path_depth=4,
+                              environment_auto=True, environment_intensity=1.0)
+    total_work = 256 * 256 * 2
+    ids = jnp.arange(n, dtype=jnp.int32) % total_work
+    _, o_s, d_s, _ = wf._spawn(scene, settings, ids, total_work)
+    fb = fu.build_fused(cb)
+
+    def timeit(name, f):
+        t0 = time.time(); f(); print(f"  ({name} first: {time.time()-t0:.1f}s)", flush=True)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            f()
+            ts.append(time.time() - t0)
+        print(f"{name}: {min(ts)*1e3:.1f} ms", flush=True)
+
+    f_ref = jax.jit(lambda o, d: cl.cluster_closest_hit(o, d, cb))
+    f_new = jax.jit(lambda o, d: fu.fused_closest_hit(o, d, fb))
+    timeit("xla cluster", lambda: float(jnp.sum(f_ref(o_s, d_s).t)))
+    timeit("fused pallas", lambda: float(jnp.sum(f_new(o_s, d_s).t)))
+    r = f_ref(o_s, d_s); g = f_new(o_s, d_s)
+    print("tri match:", float(jnp.mean((r.tri == g.tri).astype(jnp.float32))),
+          "t close:", bool(jnp.allclose(r.t, g.t, rtol=1e-6, atol=1e-6)), flush=True)
+    # steps/resolution stats
+    out = fu.fused_traverse(o_s, d_s, m.T_MAX, fb)
+    print("mean steps:", float(jnp.mean(out[:, 6])), "max steps:", float(jnp.max(out[:, 6])),
+          "resolved:", float(jnp.mean(out[:, 5])), flush=True)
+    print("OK", flush=True)
