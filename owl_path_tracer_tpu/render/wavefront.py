@@ -186,7 +186,11 @@ def _run_chunk(scene, settings, st, accel, enable_textures, total_work, iters, a
         ), None
 
     st, _ = jax.lax.scan(body, st, None, length=iters)
-    return st
+    # one tiny i32 vector for the host loop-exit test: a single relay readback
+    status = jnp.stack(
+        [st.work_counter, jnp.any(st.alive).astype(jnp.int32)]
+    )
+    return st, status
 
 
 def render_image_wavefront(
@@ -194,7 +198,7 @@ def render_image_wavefront(
     settings: RenderSettings,
     accel=None,
     lanes: int = 131072,
-    iters_per_launch: int = 8,
+    iters_per_launch: int = 16,
     max_launches: int = 1000,
 ) -> tuple:
     """Full-frame render via the persistent pool.
@@ -244,12 +248,12 @@ def render_image_wavefront(
     )
 
     for _ in range(max_launches):
-        st = _run_chunk(
+        st, status = _run_chunk(
             scene, settings, st, accel, enable_textures, total_work,
             iters_per_launch, accel_kind, lights, env_light,
         )
-        done = int(st.work_counter) >= total_work and not bool(np.asarray(st.alive).any())
-        if done:
+        status = np.asarray(status)
+        if status[0] >= total_work and not status[1]:
             break
 
     img = np.asarray(st.acc).reshape(settings.height, settings.width, 3)

@@ -26,7 +26,11 @@ stage = sys.argv[1] if len(sys.argv) > 1 else "entries"
 n = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
 
 scene = compile_scene("assets", "dragon", (256, 256))
-cb = cl.build_clusters(np.asarray(scene.vertices), np.asarray(scene.tri_idx), cluster_size=128)
+import os
+CS = int(os.environ.get("OPT_CLUSTER_SIZE", "128"))
+BLOCK = int(os.environ.get("OPT_BLOCK", "128"))
+MAXS = int(os.environ.get("OPT_MAX_STEPS", "192"))
+cb = cl.build_clusters(np.asarray(scene.vertices), np.asarray(scene.tri_idx), cluster_size=CS)
 print("clusters:", cb.num_clusters, "cluster_size:", cb.cluster_size, flush=True)
 
 key = jax.random.PRNGKey(0)
@@ -276,14 +280,14 @@ if stage == "fused":
         print(f"{name}: {min(ts)*1e3:.1f} ms", flush=True)
 
     f_ref = jax.jit(lambda o, d: cl.cluster_closest_hit(o, d, cb))
-    f_new = jax.jit(lambda o, d: fu.fused_closest_hit(o, d, fb))
+    f_new = jax.jit(lambda o, d: fu.fused_closest_hit(o, d, fb, block=BLOCK, max_steps=MAXS))
     timeit("xla cluster", lambda: float(jnp.sum(f_ref(o_s, d_s).t)))
     timeit("fused pallas", lambda: float(jnp.sum(f_new(o_s, d_s).t)))
     r = f_ref(o_s, d_s); g = f_new(o_s, d_s)
     print("tri match:", float(jnp.mean((r.tri == g.tri).astype(jnp.float32))),
           "t close:", bool(jnp.allclose(r.t, g.t, rtol=1e-6, atol=1e-6)), flush=True)
     # steps/resolution stats
-    out = fu.fused_traverse(o_s, d_s, m.T_MAX, fb)
+    out = fu.fused_traverse(o_s, d_s, m.T_MAX, fb, block=BLOCK, max_steps=MAXS)
     print("mean steps:", float(jnp.mean(out[:, 6])), "max steps:", float(jnp.max(out[:, 6])),
           "resolved:", float(jnp.mean(out[:, 5])), flush=True)
     print("OK", flush=True)
