@@ -229,6 +229,27 @@ def ensure_assets(dragon_sub=6):
             gen_cube_texture(tex)
 
 
+def ensure_dragon(sub: int = 6) -> str:
+    """Dragon stress scene at a given subdivision; returns the scene name.
+
+    sub=6 (~82k tris) is the shared test asset ``dragon``; larger subs get
+    their own scene name (``dragon7`` ~328k, ``dragon8`` ~1.3M) so the CPU
+    test suite keeps the small mesh while the benchmark runs the honest
+    north-star workload (BASELINE.md; thesis 1M-tri motivating workload,
+    /root/reference/thesis/chapters/implementation.tex:49-63)."""
+    ensure_assets()
+    if sub <= 6:
+        return "dragon"
+    name = f"dragon{sub}"
+    js = HERE / f"{name}.json"
+    if not js.exists():
+        js.write_text((HERE / "dragon.json").read_text())
+    obj = HERE / f"{name}.obj.scene"
+    if not obj.exists():
+        gen_dragon_scene(obj, sub)
+    return name
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dragon-sub", type=int, default=6, help="icosphere subdivisions (6 -> ~82k tris, 7 -> ~328k)")

@@ -5,10 +5,12 @@ Prints ONE JSON line:
 
 ``value`` is live rays traced per second (primary + bounces actually alive at
 each wavefront step, counted on-device) on the BASELINE.json north-star
-config: dragon scene, 1024x1024, cluster intersector.  ``vs_baseline`` is the
-ratio against the 50 Mrays/s/chip target.
+config: dragon scene (sub=7 substitute, ~328k tris), 1024x1024, **spp=64**,
+fused2 single-kernel Pallas traversal, persistent-wavefront renderer.
+``vs_baseline`` is the ratio against the 50 Mrays/s/chip target.
 
-Flags:  --size --spp --depth --scene --cluster-size --pixel-chunk --quick
+Flags:  --size --spp --depth --scene --dragon-sub --cluster-size
+        --intersector --renderer --lanes --quick
 """
 import argparse
 import json
@@ -25,30 +27,39 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="dragon")
     ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--cluster-size", type=int, default=128)
     ap.add_argument(
-        "--intersector", choices=["fused", "cluster", "bvh", "brute"], default="fused",
-        help="fused = single-Pallas-kernel traversal (TPU); cluster = XLA ray-stream",
+        "--dragon-sub", type=int, default=7,
+        help="dragon icosphere subdivisions (6 ~82k tris, 7 ~328k, 8 ~1.3M)",
+    )
+    ap.add_argument("--cluster-size", type=int, default=None)
+    ap.add_argument(
+        "--intersector", choices=["fused2", "fused", "cluster", "bvh", "brute"],
+        default="fused2",
+        help="fused2 = fat-cluster pipelined Pallas traversal (production)",
     )
     ap.add_argument("--pixel-chunk", type=int, default=65536)
     ap.add_argument("--renderer", choices=["wavefront", "scan"], default="wavefront")
     ap.add_argument("--lanes", type=int, default=131072)
-    ap.add_argument("--quick", action="store_true", help="256^2, spp=2 smoke config")
+    ap.add_argument("--quick", action="store_true", help="256^2, spp=2, sub=6 smoke config")
     args = ap.parse_args()
     if args.quick:
-        args.size, args.spp = 256, 2
+        args.size, args.spp, args.dragon_sub = 256, 2, 6
 
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "assets"))
     import generate
 
-    generate.ensure_assets()
+    scene_name = args.scene
+    if args.scene == "dragon":
+        scene_name = generate.ensure_dragon(args.dragon_sub)
+    else:
+        generate.ensure_assets()
 
     from owl_path_tracer_tpu.models.scene import RenderSettings, compile_scene
     from owl_path_tracer_tpu.render import film as film_mod
 
-    scene = compile_scene("assets", args.scene, (args.size, args.size))
+    scene = compile_scene("assets", scene_name, (args.size, args.size))
     settings = RenderSettings(
         width=args.size,
         height=args.size,
@@ -58,6 +69,7 @@ def main():
         environment_intensity=1.0,
     )
     accel = film_mod.make_accel(scene, args.intersector, cluster_size=args.cluster_size)
+    n_tris = int(scene.tri_idx.shape[0])
 
     if args.renderer == "wavefront":
         from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
@@ -84,7 +96,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"fwd Mrays/s ({args.scene} {args.size}^2 spp={args.spp} depth={args.depth}, {args.intersector} intersector, {args.renderer})",
+                "metric": f"fwd Mrays/s ({scene_name} {n_tris // 1000}k tris {args.size}^2 spp={args.spp} depth={args.depth}, {args.intersector} intersector, {args.renderer})",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 50.0, 4),

@@ -1,0 +1,585 @@
+"""Fused wavefront traversal v2: fat clusters + pipelined DMA + attribute replay.
+
+Round-1's fused kernel (ops/fused.py) retired ONE small cluster (C=128) per
+iteration for a 128-ray block, serialized start/wait on every cluster DMA, and
+answered shadow queries with the full closest-hit kernel; shading then paid a
+separate XLA gather of the [T,24] shade blob (~tens of ms per wave on this
+backend).  This kernel removes all four costs:
+
+  * **fat clusters** (C=512 triangles by default, SAH leaves): an order of
+    magnitude fewer clusters per scene, so the per-block retirement loop runs
+    ~C/128x fewer iterations and phase A's dense [B,K] slab test shrinks by
+    the same factor.  A 1M-triangle scene is K~2k clusters -- the [B,K] entry
+    matrix stays comfortably VMEM-resident with NO second hierarchy level;
+  * **double-buffered DMA**: the next needed cluster's 16xC plane block is
+    prefetched while the current one is being intersected (the classic
+    two-slot pipeline; see docs/PERF.md roofline);
+  * **any-hit mode**: shadow rays stop at the first valid intersection and a
+    block retires the moment every ray is either occluded or out of
+    candidates -- the TPU equivalent of OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT
+    (/root/reference/path_tracer/src/device/device.cu:106-107);
+  * **attribute replay**: after traversal, the kernel walks the (few)
+    distinct winner clusters of the block and one-hot-selects each ray's
+    16-float shading payload (vertex normals, texcoords, material id) from a
+    parallel [K,16,C] attribute plane array -- so the integrator needs NO
+    per-ray gather at all for surface data.
+
+Same capability as the reference's OptiX hardware traversal
+(owl::traceRay, device.cu:133; AS build application.cpp:131-140), re-derived
+for a vector machine with explicit DMA.  Intersection math is the shared
+``mt_components`` (ops/intersect.py), keeping results bit-compatible with the
+XLA cluster intersector.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import math as m
+from .cluster import ClusterBVH, build_clusters, cluster_closest_hit
+from .intersect import HitRecord, mt_components
+
+BLOCK_RAYS = 128
+MAX_STEPS = 256
+
+# attr plane row layout (16 rows x C lanes per cluster)
+#   0:3 n0.xyz   3:6 n1.xyz   6:9 n2.xyz
+#   9:11 tc0.uv  11:13 tc1.uv 13:15 tc2.uv
+#   15  material id (exact small-int f32)
+ATTR_ROWS = 16
+
+# best-state column layout of the [B,16] kernel scratch / out[:, :16]
+#   0 t   1 u   2 v   3 tri(f32)   4 hit   5 resolved   6 steps
+#   7 winner-cluster id   8 winner slot-in-cluster   10 attrs-fetched
+
+
+class Fused2BVH(NamedTuple):
+    boxes: jnp.ndarray  # [8,K]: rows 0-2 cmin.xyz, 3-5 cmax.xyz (VMEM-resident)
+    planes: jnp.ndarray  # [K,16,C]: rows p0(3) e1(3) e2(3) tid(1) pad(6)
+    attrs: jnp.ndarray  # [K,16,C]: shading payload planes (layout above)
+    attr_table: jnp.ndarray  # [T,16] same payload by tri id (fallback/grad path)
+    bounds: jnp.ndarray  # [2,3] scene AABB (ray-sort key quantization)
+    cluster: ClusterBVH  # exact XLA fallback path
+
+    @property
+    def num_clusters(self) -> int:
+        return self.boxes.shape[1]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.planes.shape[2]
+
+
+def build_fused2(
+    vertices: np.ndarray,
+    tri_idx: np.ndarray,
+    cluster_size: int = 512,
+    normals: np.ndarray | None = None,
+    texcoords: np.ndarray | None = None,
+    tri_mat: np.ndarray | None = None,
+) -> Fused2BVH:
+    """SAH-leaf clusters + plane re-layout + shading-attribute planes."""
+    vertices = np.asarray(vertices, np.float32)
+    tri_idx = np.asarray(tri_idx, np.int32)
+    cb = build_clusters(vertices, tri_idx, cluster_size)
+    k, c = cb.num_clusters, cb.cluster_size
+
+    boxes = np.zeros((8, k), np.float32)
+    boxes[0:3] = np.asarray(cb.cmin).T
+    boxes[3:6] = np.asarray(cb.cmax).T
+
+    planes = np.zeros((k, 16, c), np.float32)
+    planes[:, 0:9] = np.asarray(cb.tri_planes)
+    tid = np.asarray(cb.tri_id)  # [K,C], -1 = padding
+    assert tid.max() < (1 << 24), "tri ids exceed exact f32 range"
+    planes[:, 9] = tid.astype(np.float32)
+
+    # per-slot shading payload (zeros when the caller has no attributes,
+    # e.g. geometry-only tests)
+    t_count = tri_idx.shape[0]
+    attr_table = np.zeros((t_count, ATTR_ROWS), np.float32)
+    if normals is None:
+        normals = np.zeros((vertices.shape[0], 3), np.float32)
+    if texcoords is None:
+        texcoords = np.zeros((vertices.shape[0], 2), np.float32)
+    if tri_mat is None:
+        tri_mat = np.zeros((t_count,), np.int32)
+    nrm = np.asarray(normals, np.float32)
+    tc = np.asarray(texcoords, np.float32)
+    for v_i in range(3):
+        attr_table[:, 3 * v_i : 3 * v_i + 3] = nrm[tri_idx[:, v_i]]
+        attr_table[:, 9 + 2 * v_i : 11 + 2 * v_i] = tc[tri_idx[:, v_i]]
+    attr_table[:, 15] = np.asarray(tri_mat, np.float32)
+
+    safe = np.maximum(tid, 0)
+    attrs = attr_table[safe].transpose(0, 2, 1).copy()  # [K,16,C]
+
+    bounds = np.stack([vertices.min(0), vertices.max(0)]).astype(np.float32)
+    return Fused2BVH(
+        boxes=jnp.asarray(boxes),
+        planes=jnp.asarray(planes),
+        attrs=jnp.asarray(attrs),
+        attr_table=jnp.asarray(attr_table),
+        bounds=jnp.asarray(bounds),
+        cluster=cb,
+    )
+
+
+def build_fused2_scene(scene, cluster_size: int = 512) -> Fused2BVH:
+    """Build from a compiled Scene (models/scene.py) including shading attrs."""
+    return build_fused2(
+        np.asarray(scene.vertices),
+        np.asarray(scene.tri_idx),
+        cluster_size=cluster_size,
+        normals=np.asarray(scene.normals),
+        texcoords=np.asarray(scene.texcoords),
+        tri_mat=np.asarray(scene.tri_mat),
+    )
+
+
+# pl/pltpu imported lazily so CPU-only users never touch pallas at import
+pl = None
+pltpu = None
+
+
+def _ensure_pallas():
+    global pl, pltpu
+    if pl is None:
+        from jax.experimental import pallas as _pl
+        from jax.experimental.pallas import tpu as _pltpu
+
+        globals()["pl"] = _pl
+        globals()["pltpu"] = _pltpu
+
+
+def _default_interpret() -> bool:
+    """Pallas TPU kernels need a real TPU (or the axon relay); anywhere else
+    (CPU test suite, virtual-device multichip dryrun) run interpreted."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _pick_next(ent, prune_t, k, col_k):
+    """Scalar id of the block's nearest needed cluster (k = none)."""
+    mn = jnp.min(ent, axis=-1, keepdims=True)  # [B,1]
+    active = mn < prune_t
+    cid = jnp.min(
+        jnp.where((ent == mn) & active, col_k, k), axis=-1, keepdims=True
+    )  # [B,1]
+    return jnp.min(jnp.where(active, cid, k))  # scalar
+
+
+def _kernel(b, k, c, max_steps, with_attrs, any_hit,
+            rays_ref, boxes_ref, planes_ref, attrs_ref, out_ref,
+            ent_ref, buf_ref, abuf_ref, best_ref, attr_ref, sem, asem, ctl_ref):
+    rays = rays_ref[0]  # [B,8]
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    tmax = rays[:, 6:7]
+
+    def inv(dc):
+        return 1.0 / jnp.where(
+            jnp.abs(dc) < 1e-12, jnp.where(dc < 0, -1e-12, 1e-12), dc
+        )
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    t_min = m.T_MIN
+
+    # ── phase A in VMEM: [B,K] slab entries ──
+    tn = jnp.full((b, k), -jnp.inf, jnp.float32)
+    tf = jnp.full((b, k), jnp.inf, jnp.float32)
+    for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
+        bmin = boxes_ref[a : a + 1, :]  # [1,K]
+        bmax = boxes_ref[3 + a : 4 + a, :]
+        oi = oa * ia  # [B,1]
+        t0 = ia * bmin - oi  # [B,K]
+        t1 = ia * bmax - oi
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    t_enter = jnp.maximum(tn, t_min)
+    hit_box = t_enter <= jnp.minimum(tf, tmax)
+    ent_ref[:, :] = jnp.where(hit_box, t_enter, jnp.inf)
+
+    zeros = jnp.zeros((b, 1), jnp.float32)
+    best_ref[:, 0:1] = tmax
+    best_ref[:, 1:3] = jnp.zeros((b, 2), jnp.float32)
+    best_ref[:, 3:4] = zeros - 1.0  # tri
+    best_ref[:, 4:5] = zeros  # hit
+    best_ref[:, 5:6] = zeros + 1.0  # resolved
+    best_ref[:, 6:7] = zeros  # steps (clusters this ray participated in)
+    best_ref[:, 7:8] = zeros - 1.0  # winner cluster
+    best_ref[:, 8:9] = zeros - 1.0  # winner slot
+    best_ref[:, 9:16] = jnp.zeros((b, 7), jnp.float32)
+    attr_ref[:, :] = jnp.zeros((b, 16), jnp.float32)
+
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+
+    # ── warm-up: pick + prefetch the first cluster into slot 0 ──
+    c0 = _pick_next(ent_ref[:, :], best_ref[:, 0:1], k, col_k)
+    ctl_ref[0] = jnp.where(c0 < k, 0, 1)  # done flag
+    ctl_ref[1] = c0  # slot-0 cluster id
+
+    @pl.when(c0 < k)
+    def _():
+        pltpu.make_async_copy(planes_ref.at[c0], buf_ref.at[0], sem.at[0]).start()
+
+    # ── pipelined retirement loop: pick+prefetch next, intersect current ──
+    def body(i, _):
+        @pl.when(ctl_ref[0] == 0)
+        def _():
+            slot = jax.lax.rem(i, 2)
+            nslot = 1 - slot
+            c_cur = jnp.where(slot == 0, ctl_ref[1], ctl_ref[2])
+            ent = ent_ref[:, :]
+            is_cur = col_k == c_cur
+            ent_x = jnp.where(is_cur, jnp.inf, ent)  # current excluded/retired
+
+            if any_hit:
+                # a ray prunes everything once it has any hit
+                prune_t = jnp.where(best_ref[:, 4:5] > 0.0, -jnp.inf, best_ref[:, 0:1])
+            else:
+                prune_t = best_ref[:, 0:1]
+            cn = _pick_next(ent_x, prune_t, k, col_k)
+            have_n = cn < k
+
+            @pl.when(have_n & (slot == 0))
+            def _():
+                ctl_ref[2] = cn
+
+            @pl.when(have_n & (slot == 1))
+            def _():
+                ctl_ref[1] = cn
+
+            @pl.when(have_n)
+            def _():
+                pltpu.make_async_copy(
+                    planes_ref.at[cn], buf_ref.at[nslot], sem.at[nslot]
+                ).start()
+
+            # participation mask BEFORE waiting on the in-flight DMA
+            e_c = jnp.min(jnp.where(is_cur, ent, jnp.inf), axis=-1, keepdims=True)
+            if any_hit:
+                mine = (best_ref[:, 4:5] == 0.0) & (e_c < best_ref[:, 0:1])
+            else:
+                mine = e_c < best_ref[:, 0:1]
+
+            pltpu.make_async_copy(
+                planes_ref.at[c_cur], buf_ref.at[slot], sem.at[slot]
+            ).wait()
+            pb = buf_ref[slot]  # [16,C]
+            tid = pb[9:10, :]
+            t, u, v, ok = mt_components(
+                (ox, oy, oz), (dx, dy, dz),
+                (pb[0:1, :], pb[1:2, :], pb[2:3, :]),
+                (pb[3:4, :], pb[4:5, :], pb[5:6, :]),
+                (pb[6:7, :], pb[7:8, :], pb[8:9, :]),
+                t_min, best_ref[:, 0:1],
+            )
+            ok &= mine & (tid >= 0.0)
+
+            if any_hit:
+                got = jnp.max(
+                    jnp.where(ok, 1.0, 0.0), axis=-1, keepdims=True
+                )
+                best_ref[:, 4:5] = jnp.maximum(best_ref[:, 4:5], got)
+            else:
+                t = jnp.where(ok, t, jnp.inf)
+                tc = jnp.min(t, axis=-1, keepdims=True)  # [B,1]
+                wcol = jnp.min(
+                    jnp.where(t == tc, col_c, c), axis=-1, keepdims=True
+                )
+                onehot = col_c == wcol
+                better = tc < best_ref[:, 0:1]
+                pick = lambda x: jnp.sum(
+                    jnp.where(onehot, x, 0.0), axis=-1, keepdims=True
+                )
+                best_ref[:, 0:1] = jnp.where(better, tc, best_ref[:, 0:1])
+                best_ref[:, 1:2] = jnp.where(better, pick(u), best_ref[:, 1:2])
+                best_ref[:, 2:3] = jnp.where(better, pick(v), best_ref[:, 2:3])
+                best_ref[:, 3:4] = jnp.where(
+                    better, pick(jnp.broadcast_to(tid, (b, c))), best_ref[:, 3:4]
+                )
+                best_ref[:, 4:5] = jnp.where(better, 1.0, best_ref[:, 4:5])
+                best_ref[:, 7:8] = jnp.where(
+                    better, c_cur.astype(jnp.float32), best_ref[:, 7:8]
+                )
+                best_ref[:, 8:9] = jnp.where(
+                    better, wcol.astype(jnp.float32), best_ref[:, 8:9]
+                )
+            best_ref[:, 6:7] = best_ref[:, 6:7] + jnp.where(mine, 1.0, 0.0)
+
+            ent_ref[:, :] = ent_x
+            ctl_ref[0] = jnp.where(have_n, 0, 1)
+
+        return 0
+
+    jax.lax.fori_loop(0, max_steps, body, 0)
+
+    # unresolved check: any remaining candidate nearer than best
+    ent = ent_ref[:, :]
+    nearest = jnp.min(ent, axis=-1, keepdims=True)
+    if any_hit:
+        unres = (best_ref[:, 4:5] == 0.0) & (nearest < best_ref[:, 0:1])
+    else:
+        unres = nearest < best_ref[:, 0:1]
+    best_ref[:, 5:6] = jnp.where(unres, 0.0, best_ref[:, 5:6])
+
+    # ── attribute replay: one DMA + one-hot select per DISTINCT winner ──
+    if with_attrs and not any_hit:
+        ctl_ref[3] = 0
+        kf = jnp.float32(k)
+
+        def rbody(j, _):
+            @pl.when(ctl_ref[3] == 0)
+            def _():
+                need = (best_ref[:, 4:5] > 0.0) & (best_ref[:, 10:11] == 0.0)
+                wc = jnp.where(need, best_ref[:, 7:8], kf)
+                cmin_f = jnp.min(wc)  # scalar f32 (cluster ids exact)
+
+                @pl.when(cmin_f < kf)
+                def _():
+                    cstar = cmin_f.astype(jnp.int32)
+                    ad = pltpu.make_async_copy(attrs_ref.at[cstar], abuf_ref, asem)
+                    ad.start()
+                    sel = need & (best_ref[:, 7:8] == cmin_f)
+                    onehot = (
+                        col_c == best_ref[:, 8:9].astype(jnp.int32)
+                    ) & sel
+                    ad.wait()
+                    for r in range(ATTR_ROWS):
+                        attr_ref[:, r : r + 1] = jnp.where(
+                            sel,
+                            jnp.sum(
+                                jnp.where(onehot, abuf_ref[r : r + 1, :], 0.0),
+                                axis=-1, keepdims=True,
+                            ),
+                            attr_ref[:, r : r + 1],
+                        )
+                    best_ref[:, 10:11] = jnp.where(sel, 1.0, best_ref[:, 10:11])
+
+                @pl.when(cmin_f >= kf)
+                def _():
+                    ctl_ref[3] = 1
+
+            return 0
+
+        jax.lax.fori_loop(0, max_steps, rbody, 0)
+        # a ray that never got its attrs (replay overflow) must take the
+        # exact-fallback path
+        still = (best_ref[:, 4:5] > 0.0) & (best_ref[:, 10:11] == 0.0)
+        best_ref[:, 5:6] = jnp.where(still, 0.0, best_ref[:, 5:6])
+
+    out_ref[0, :, 0:16] = best_ref[:, :]
+    out_ref[0, :, 16:32] = attr_ref[:, :]
+
+
+@partial(jax.jit, static_argnames=("interpret", "block", "max_steps", "with_attrs", "any_hit"))
+def fused2_traverse(
+    ray_o, ray_d, t_max, fb: Fused2BVH,
+    interpret: bool | None = None, block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
+    with_attrs: bool = True, any_hit: bool = False,
+):
+    """Raw kernel sweep: [N] rays -> [N,32].
+
+    cols 0:16 best state (t,u,v,tri,hit,resolved,steps,wcid,wslot,_,fetched,..);
+    cols 16:32 shading attr payload of the winning triangle.
+    """
+    _ensure_pallas()
+    if interpret is None:
+        interpret = _default_interpret()
+    n = ray_o.shape[0]
+    k = fb.num_clusters
+    c = fb.cluster_size
+    assert n % block == 0, (n, block)
+    g = n // block
+
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((n,), t_max, jnp.float32)
+    rays = jnp.concatenate(
+        [ray_o, ray_d, t_max[:, None], jnp.zeros((n, 1), jnp.float32)], axis=1
+    ).reshape(g, block, 8)
+
+    out = pl.pallas_call(
+        partial(_kernel, block, k, c, max_steps, with_attrs, any_hit),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, block, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((8, k), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, block, 32), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, block, 32), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block, k), jnp.float32),
+            pltpu.VMEM((2, 16, c), jnp.float32),
+            pltpu.VMEM((16, c), jnp.float32),
+            pltpu.VMEM((block, 16), jnp.float32),
+            pltpu.VMEM((block, 16), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((8,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, fb.boxes, fb.planes, fb.attrs)
+    return out.reshape(n, 32)
+
+
+def _morton3(x, y, z, bits: int = 4):
+    key = jnp.zeros_like(x)
+    for i in range(bits):
+        key = (
+            key
+            | (((x >> i) & 1) << (3 * i + 2))
+            | (((y >> i) & 1) << (3 * i + 1))
+            | (((z >> i) & 1) << (3 * i))
+        )
+    return key
+
+
+def ray_sort_keys(ray_o, ray_d, bounds) -> jnp.ndarray:
+    """Coherence key: 12-bit origin Morton cell + 9-bit direction cell.
+
+    Sorting a wave by this key (STABLY, so spawn-order coherence survives
+    ties) packs rays that will walk the same clusters into the same 128-ray
+    kernel block -- the block-dedup retirement loop then runs ~union-of-
+    clusters-per-block times, which coherence makes small.
+    """
+    lo = bounds[0]
+    ext = jnp.maximum(bounds[1] - bounds[0], 1e-6)
+    q = jnp.clip(((ray_o - lo) / ext) * 16.0, 0.0, 15.0).astype(jnp.int32)
+    mk = _morton3(q[:, 0], q[:, 1], q[:, 2], bits=4)
+    dq = jnp.clip((ray_d * 0.5 + 0.5) * 8.0, 0.0, 7.0).astype(jnp.int32)
+    dk = (dq[:, 0] << 6) | (dq[:, 1] << 3) | dq[:, 2]
+    return (mk << 9) | dk
+
+
+def _pad_rays(ray_o, ray_d, t_max, block):
+    n = ray_o.shape[0]
+    pad = (-n) % block
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((n,), t_max, jnp.float32)
+    if not pad:
+        return ray_o, ray_d, t_max, n
+    ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), jnp.float32)])
+    ray_d = jnp.concatenate(
+        [ray_d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))]
+    )
+    t_max = jnp.concatenate([t_max, jnp.full((pad,), m.T_MIN, jnp.float32)])
+    return ray_o, ray_d, t_max, n
+
+
+@partial(jax.jit, static_argnames=("sort", "interpret", "block", "max_steps", "with_attrs"))
+def fused2_closest_hit(
+    ray_o, ray_d, fb: Fused2BVH,
+    t_min: float = m.T_MIN, t_max=m.T_MAX,
+    sort: bool = True, interpret: bool | None = None,
+    block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
+    with_attrs: bool = True,
+):
+    """Exact closest hit + shading payload.
+
+    Returns (HitRecord, attr_blob [N,16]).  Rays are stably sorted by a
+    spatial-directional coherence key before the kernel and unsorted after;
+    the rare unresolved ray (kernel step overflow) falls back to the exact
+    XLA cluster intersector + an attr-table gather.
+    """
+    n0 = ray_o.shape[0]
+    ray_o_p, ray_d_p, t_max_p, _ = _pad_rays(ray_o, ray_d, t_max, block)
+
+    if sort:
+        keys = ray_sort_keys(ray_o_p, ray_d_p, fb.bounds)
+        perm = jnp.argsort(keys, stable=True)
+        out = fused2_traverse(
+            ray_o_p[perm], ray_d_p[perm], t_max_p[perm], fb,
+            interpret=interpret, block=block, max_steps=max_steps,
+            with_attrs=with_attrs,
+        )
+        out = out[jnp.argsort(perm)]
+    else:
+        out = fused2_traverse(
+            ray_o_p, ray_d_p, t_max_p, fb,
+            interpret=interpret, block=block, max_steps=max_steps,
+            with_attrs=with_attrs,
+        )
+    out = out[:n0]
+
+    t = out[:, 0]
+    hit = out[:, 4] > 0.0
+    tri = jnp.where(hit, out[:, 3].astype(jnp.int32), -1)
+    uv = out[:, 1:3]
+    blob = out[:, 16:32]
+    resolved = out[:, 5] > 0.0
+
+    def with_fallback(args):
+        t, tri, uv, blob = args
+        rec = cluster_closest_hit(
+            ray_o, ray_d, fb.cluster, t_min=t_min, t_max=t_max
+        )
+        fb_blob = fb.attr_table[jnp.maximum(rec.tri, 0)]
+        keep = resolved
+        return (
+            jnp.where(keep, t, rec.t),
+            jnp.where(keep, tri, rec.tri),
+            jnp.where(keep[:, None], uv, rec.uv),
+            jnp.where(keep[:, None], blob, fb_blob),
+        )
+
+    t, tri, uv, blob = jax.lax.cond(
+        jnp.all(resolved), lambda a: a, with_fallback, (t, tri, uv, blob)
+    )
+    t = jnp.where(tri >= 0, t, jnp.asarray(t_max, jnp.float32))
+    return HitRecord(t=t, tri=tri, uv=uv), blob
+
+
+@partial(jax.jit, static_argnames=("sort", "interpret", "block", "max_steps"))
+def fused2_occluded(
+    ray_o, ray_d, fb: Fused2BVH, t_min: float = m.T_MIN, t_max=m.T_MAX,
+    sort: bool = True, interpret: bool | None = None,
+    block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
+):
+    """True any-hit occlusion: first valid hit retires the ray
+    (TERMINATE_ON_FIRST_HIT semantics, device.cu:106-107)."""
+    n0 = ray_o.shape[0]
+    ray_o_p, ray_d_p, t_max_p, _ = _pad_rays(ray_o, ray_d, t_max, block)
+
+    if sort:
+        keys = ray_sort_keys(ray_o_p, ray_d_p, fb.bounds)
+        perm = jnp.argsort(keys, stable=True)
+        out = fused2_traverse(
+            ray_o_p[perm], ray_d_p[perm], t_max_p[perm], fb,
+            interpret=interpret, block=block, max_steps=max_steps,
+            with_attrs=False, any_hit=True,
+        )
+        out = out[jnp.argsort(perm)]
+    else:
+        out = fused2_traverse(
+            ray_o_p, ray_d_p, t_max_p, fb,
+            interpret=interpret, block=block, max_steps=max_steps,
+            with_attrs=False, any_hit=True,
+        )
+    out = out[:n0]
+    hit = out[:, 4] > 0.0
+    resolved = out[:, 5] > 0.0
+
+    def with_fallback(hit):
+        from .cluster import cluster_occluded
+
+        occ = cluster_occluded(ray_o, ray_d, fb.cluster, t_min=t_min, t_max=t_max)
+        return jnp.where(resolved, hit, occ)
+
+    return jax.lax.cond(jnp.all(resolved), lambda h: h, with_fallback, hit)
+
+
+def make_fused2_intersector(fb: Fused2BVH, **kw):
+    """Intersector returning (HitRecord, attr_blob) -- the integrator uses the
+    blob instead of gathering scene.shade_blob."""
+
+    def intersect(ray_o, ray_d):
+        return fused2_closest_hit(ray_o, ray_d, fb, **kw)
+
+    return intersect

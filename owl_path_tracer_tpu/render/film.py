@@ -59,9 +59,16 @@ def new_film(settings: RenderSettings) -> Film:
 def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, accel, lights, env_light):
     from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
     from ..ops.fused import FusedBVH, fused_occluded, make_fused_intersector
+    from ..ops.fused2 import Fused2BVH, fused2_occluded, make_fused2_intersector
     from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
 
-    if isinstance(accel, FusedBVH):
+    if isinstance(accel, Fused2BVH):
+        intersect_fn = make_fused2_intersector(accel)
+
+        def occlude_fn(pos, direction, max_dist):
+            return fused2_occluded(pos, direction, accel, t_max=max_dist)
+
+    elif isinstance(accel, FusedBVH):
         intersect_fn = make_fused_intersector(accel)
 
         def occlude_fn(pos, direction, max_dist):
@@ -98,12 +105,18 @@ def build_scene_bvh(scene: Scene):
     return device_bvh(build_bvh_cached(verts, tris), verts, tris)
 
 
-def make_accel(scene: Scene, kind: str = "cluster", cluster_size: int = 128):
+def make_accel(scene: Scene, kind: str = "cluster", cluster_size: int | None = None):
     """Build the acceleration structure for rendering.
 
-    ``cluster`` (default) is the TPU-native ray-stream intersector
-    (ops/cluster.py); ``bvh`` is the per-ray-stack traversal; ``brute``
-    returns None (dense sweep, exact reference for tests)."""
+    ``fused2`` is the production single-kernel traversal (ops/fused2.py, fat
+    clusters, default C=512); ``cluster`` the XLA ray-stream intersector
+    (ops/cluster.py, default C=128); ``bvh`` the per-ray-stack traversal;
+    ``brute`` returns None (dense sweep, exact reference for tests)."""
+    if kind == "fused2":
+        from ..ops.fused2 import build_fused2_scene
+
+        return build_fused2_scene(scene, cluster_size=cluster_size or 512)
+    cluster_size = cluster_size or 128
     if kind in ("cluster", "fused"):
         from ..ops.cluster import build_clusters
 

@@ -83,6 +83,71 @@ def _material_blob(scene: Scene):
     return jnp.concatenate(cols, axis=1)
 
 
+def _material_lookup(scene: Scene, mat_id):
+    """Materials row fetch. Scenes have <=12 materials (assets/car.json), so a
+    one-hot matmul against the tiny [M,17] table beats an XLA gather on TPU
+    (and is trivially differentiable)."""
+    mtab = _material_blob(scene)
+    m_count = mtab.shape[0]
+    if m_count <= 16:
+        oh = (mat_id[:, None] == jnp.arange(m_count)[None, :]).astype(mtab.dtype)
+        return oh @ mtab
+    return mtab[mat_id]
+
+
+def _split_materials(mblob):
+    from ..models.material import Materials
+
+    scalars = {
+        f: mblob[:, 3 + i]
+        for i, f in enumerate(x for x in Materials._fields if x != "base_color")
+    }
+    return Materials(base_color=mblob[:, 0:3], **scalars)
+
+
+def _tex_lookup(scene: Scene, mat_id, tc, base_color):
+    tex_id = scene.mat_tex[mat_id]
+    tex_color = tex.sample_atlas_nearest(scene.textures, tex_id, tc)
+    return jnp.where((tex_id >= 0)[..., None], tex_color, base_color)
+
+
+def _fetch_surface_blob(scene: Scene, hit: HitRecord, blob, ray_o, ray_d, enable_textures: bool):
+    """Surface fetch from the traversal kernel's attribute payload
+    (ops/fused2.py attr replay) -- NO per-ray shade-blob gather.
+
+    Hit position is ``o + t*d`` (algebraically equal to the reference's
+    barycentric lerp, device.cu:59; differs by rounding only).
+    """
+    u = hit.uv[..., 0:1]
+    v = hit.uv[..., 1:2]
+    w = 1.0 - u - v
+    pos = ray_o + hit.t[..., None] * ray_d
+
+    sh_n = w * blob[:, 0:3] + u * blob[:, 3:6] + v * blob[:, 6:9]
+    sh_n = sh_n / jnp.sqrt(jnp.maximum(m.dot(sh_n, sh_n), 1e-20))[..., None]
+
+    mat_id = blob[:, 15].astype(jnp.int32)
+    mat = _split_materials(_material_lookup(scene, mat_id))
+    if enable_textures:
+        tc = w * blob[:, 9:11] + u * blob[:, 11:13] + v * blob[:, 13:15]
+        mat = mat._replace(base_color=_tex_lookup(scene, mat_id, tc, mat.base_color))
+    return pos, sh_n, sh_n, mat, mat_id
+
+
+def _intersect(intersect_fn, ray_o, ray_d):
+    """Normalize intersector results to (HitRecord, aux-blob-or-None)."""
+    res = intersect_fn(ray_o, ray_d)
+    if isinstance(res, HitRecord):
+        return res, None
+    return res
+
+
+def _surface(scene, hit, aux, ray_o, ray_d, enable_textures):
+    if aux is None:
+        return _fetch_surface(scene, hit, enable_textures)
+    return _fetch_surface_blob(scene, hit, aux, ray_o, ray_d, enable_textures)
+
+
 def _fetch_surface(scene: Scene, hit: HitRecord, enable_textures: bool):
     """Geometry + material fetch at hit points -- device.cu:150-173.
 
@@ -111,21 +176,11 @@ def _fetch_surface(scene: Scene, hit: HitRecord, enable_textures: bool):
     sh_n = sh_n / jnp.sqrt(jnp.maximum(m.dot(sh_n, sh_n), 1e-20))[..., None]
 
     mat_id = scene.tri_mat[tri]
-    from ..models.material import Materials
-
-    mblob = _material_blob(scene)[mat_id]  # [N,17]
-    scalars = {
-        f: mblob[:, 3 + i]
-        for i, f in enumerate(x for x in Materials._fields if x != "base_color")
-    }
-    mat = Materials(base_color=mblob[:, 0:3], **scalars)
+    mat = _split_materials(_material_lookup(scene, mat_id))
 
     if enable_textures:
         tc = w * blob[:, 18:20] + u * blob[:, 20:22] + v * blob[:, 22:24]
-        tex_id = scene.mat_tex[mat_id]
-        tex_color = tex.sample_atlas_nearest(scene.textures, tex_id, tc)
-        base = jnp.where((tex_id >= 0)[..., None], tex_color, mat.base_color)
-        mat = mat._replace(base_color=base)
+        mat = mat._replace(base_color=_tex_lookup(scene, mat_id, tc, mat.base_color))
 
     return pos, geo_n, sh_n, mat, mat_id
 
@@ -138,7 +193,7 @@ def trace_bounce(
     enable_textures: bool,
 ) -> PathState:
     """One wavefront bounce -- the body of the reference's depth loop."""
-    hit = intersect_fn(state.ray_o, state.ray_d)
+    hit, aux = _intersect(intersect_fn, state.ray_o, state.ray_d)
 
     # miss -> environment, terminate (device.cu:136-148)
     miss = state.alive & ~hit.hit
@@ -146,7 +201,9 @@ def trace_bounce(
     result = jnp.where(miss[..., None], env * state.throughput, state.result)
     alive = state.alive & hit.hit
 
-    pos, _geo_n, sh_n, mat, _mat_id = _fetch_surface(scene, hit, enable_textures)
+    pos, _geo_n, sh_n, mat, _mat_id = _surface(
+        scene, hit, aux, state.ray_o, state.ray_d, enable_textures
+    )
 
     # emissive -> monochrome radiance, terminate (device.cu:157-161)
     emissive = alive & (mat.emission > 0.0)
@@ -231,7 +288,7 @@ def trace_bounce_nee(
 
     from ..models import envlight as envlight_mod
 
-    hit = intersect_fn(state.ray_o, state.ray_d)
+    hit, aux = _intersect(intersect_fn, state.ray_o, state.ray_d)
 
     # miss -> environment; MIS-weighted against env importance sampling when
     # an EnvLight is active (primary rays keep weight 1)
@@ -252,7 +309,9 @@ def trace_bounce_nee(
     result = state.result + jnp.where(miss[..., None], env * state.throughput, 0.0)
     alive = state.alive & hit.hit
 
-    pos, _geo_n, sh_n, mat, _mat_id = _fetch_surface(scene, hit, enable_textures)
+    pos, _geo_n, sh_n, mat, _mat_id = _surface(
+        scene, hit, aux, state.ray_o, state.ray_d, enable_textures
+    )
 
     # emissive hit -> MIS-weighted emission, terminate (lights stay absorbing,
     # matching the reference's terminate-at-light behavior)

@@ -155,7 +155,15 @@ def _run_chunk(scene, settings, st, accel, enable_textures, total_work, iters, a
     from ..ops.cluster import cluster_occluded, make_cluster_intersector
     from ..ops.traverse import bvh_occluded, make_bvh_intersector
 
-    if accel_kind == "fused":
+    if accel_kind == "fused2":
+        from ..ops.fused2 import fused2_occluded, make_fused2_intersector
+
+        intersect_fn = make_fused2_intersector(accel)
+
+        def occlude_fn(p, d, dist):
+            return fused2_occluded(p, d, accel, t_max=dist)
+
+    elif accel_kind == "fused":
         from ..ops.fused import fused_occluded, make_fused_intersector
 
         intersect_fn = make_fused_intersector(accel)
@@ -207,11 +215,13 @@ def render_image_wavefront(
     """
     from ..ops.cluster import ClusterBVH
     from ..ops.fused import FusedBVH
+    from ..ops.fused2 import Fused2BVH
     from ..ops.traverse import DeviceBVH
     from .film import scene_has_textures
 
     accel_kind = (
-        "fused" if isinstance(accel, FusedBVH)
+        "fused2" if isinstance(accel, Fused2BVH)
+        else "fused" if isinstance(accel, FusedBVH)
         else "cluster" if isinstance(accel, ClusterBVH)
         else "bvh" if isinstance(accel, DeviceBVH)
         else "brute"

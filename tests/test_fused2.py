@@ -1,0 +1,121 @@
+"""Fused traversal v2 (ops/fused2.py): interpret-mode correctness vs the
+exact intersectors, attribute-replay payloads, any-hit semantics."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from owl_path_tracer_tpu.ops import cluster as cl
+from owl_path_tracer_tpu.ops import fused2 as f2
+from owl_path_tracer_tpu.ops.intersect import closest_hit_brute
+
+
+def _soup(n_tris=3000, seed=0, spread=4.0):
+    r = np.random.default_rng(seed)
+    base = r.uniform(-spread, spread, (n_tris, 1, 3))
+    tri = base + r.normal(0, 0.4, (n_tris, 3, 3))
+    verts = tri.reshape(-1, 3).astype(np.float32)
+    idx = np.arange(3 * n_tris, dtype=np.int32).reshape(n_tris, 3)
+    return verts, idx, r
+
+
+@pytest.fixture(scope="module")
+def setup():
+    verts, idx, r = _soup()
+    normals = r.normal(size=verts.shape).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    texcoords = r.uniform(0, 1, (len(verts), 2)).astype(np.float32)
+    tri_mat = r.integers(0, 5, len(idx)).astype(np.int32)
+    fb = f2.build_fused2(
+        verts, idx, cluster_size=64,
+        normals=normals, texcoords=texcoords, tri_mat=tri_mat,
+    )
+    n = 512
+    o = jnp.asarray(r.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return fb, verts, idx, o, jnp.asarray(d), r
+
+
+def test_matches_cluster_exact(setup):
+    fb, verts, idx, o, d, r = setup
+    ref = cl.cluster_closest_hit(o, d, fb.cluster)
+    rec, _ = f2.fused2_closest_hit(o, d, fb, interpret=True, sort=False)
+    np.testing.assert_array_equal(np.asarray(rec.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(rec.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(rec.uv), np.asarray(ref.uv))
+
+
+def test_sorted_equals_unsorted(setup):
+    fb, verts, idx, o, d, r = setup
+    a, blob_a = f2.fused2_closest_hit(o, d, fb, interpret=True, sort=False)
+    b, blob_b = f2.fused2_closest_hit(o, d, fb, interpret=True, sort=True)
+    np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(blob_a), np.asarray(blob_b))
+
+
+def test_matches_brute(setup):
+    fb, verts, idx, o, d, r = setup
+    ref = closest_hit_brute(o, d, jnp.asarray(verts), jnp.asarray(idx))
+    rec, _ = f2.fused2_closest_hit(o, d, fb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec.tri), np.asarray(ref.tri))
+    hit = np.asarray(ref.tri) >= 0
+    np.testing.assert_allclose(
+        np.asarray(rec.t)[hit], np.asarray(ref.t)[hit], rtol=1e-6
+    )
+
+
+def test_attr_blob_matches_table(setup):
+    fb, verts, idx, o, d, r = setup
+    rec, blob = f2.fused2_closest_hit(o, d, fb, interpret=True)
+    hit = np.asarray(rec.tri) >= 0
+    want = np.asarray(fb.attr_table)[np.asarray(rec.tri)[hit]]
+    np.testing.assert_array_equal(np.asarray(blob)[hit], want)
+    # misses keep a zero payload
+    assert (np.asarray(blob)[~hit] == 0.0).all()
+
+
+def test_any_hit_occlusion(setup):
+    fb, verts, idx, o, d, r = setup
+    ref = cl.cluster_occluded(o, d, fb.cluster)
+    occ = f2.fused2_occluded(o, d, fb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+def test_per_ray_tmax(setup):
+    fb, verts, idx, o, d, r = setup
+    rec, _ = f2.fused2_closest_hit(o, d, fb, interpret=True)
+    hit = np.asarray(rec.tri) >= 0
+    # cap t_max just below each ray's closest hit: ray must now miss it
+    tm = np.where(hit, np.asarray(rec.t) * 0.99, 1e10).astype(np.float32)
+    rec2, _ = f2.fused2_closest_hit(o, d, fb, t_max=jnp.asarray(tm), interpret=True)
+    t2 = np.asarray(rec2.t)
+    assert ((t2[hit] < np.asarray(rec.t)[hit] * 0.99) | (np.asarray(rec2.tri)[hit] < 0)).all()
+    occ = f2.fused2_occluded(o, d, fb, t_max=jnp.asarray(tm), interpret=True)
+    occ_ref = cl.cluster_occluded(o, d, fb.cluster, t_max=jnp.asarray(tm))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
+def test_small_scene_and_padding():
+    # fewer tris than one cluster + ray count not a block multiple
+    verts, idx, r = _soup(n_tris=10, seed=3)
+    fb = f2.build_fused2(verts, idx, cluster_size=64)
+    n = 37
+    o = jnp.asarray(r.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    ref = closest_hit_brute(o, d, jnp.asarray(verts), jnp.asarray(idx))
+    rec, _ = f2.fused2_closest_hit(o, d, fb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec.tri), np.asarray(ref.tri))
+
+
+def test_overflow_fallback_is_exact(setup):
+    """max_steps=1 forces unresolved rays through the XLA fallback."""
+    fb, verts, idx, o, d, r = setup
+    ref = cl.cluster_closest_hit(o, d, fb.cluster)
+    rec, blob = f2.fused2_closest_hit(o, d, fb, interpret=True, max_steps=1)
+    np.testing.assert_array_equal(np.asarray(rec.tri), np.asarray(ref.tri))
+    hit = np.asarray(rec.tri) >= 0
+    want = np.asarray(fb.attr_table)[np.asarray(rec.tri)[hit]]
+    np.testing.assert_array_equal(np.asarray(blob)[hit], want)
