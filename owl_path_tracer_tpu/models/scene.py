@@ -54,6 +54,7 @@ class Scene(NamedTuple):
     materials: material_mod.Materials
     mat_tex: jnp.ndarray  # [M] index into textures, -1 = none
     textures: jnp.ndarray  # [K,TH,TW,3] f32 (stacked, zero-padded); K>=1
+    tex_hw: jnp.ndarray  # [K,2] f32 true (h,w) of each texture before padding
 
     # Lighting
     env_map: jnp.ndarray  # [EH,EW,3] f32
@@ -170,10 +171,16 @@ def compile_scene(
         th = max(a.shape[0] for a in tex_arrays)
         tw = max(a.shape[1] for a in tex_arrays)
         stack = np.zeros((len(tex_arrays), th, tw, 3), np.float32)
+        # true per-texture extents: uv must be scaled by each texture's own
+        # (h,w), not the padded atlas dims, or any scene mixing texture sizes
+        # silently samples the zero padding near u,v -> 1
+        tex_hw = np.zeros((len(tex_arrays), 2), np.float32)
         for k, a in enumerate(tex_arrays):
             stack[k, : a.shape[0], : a.shape[1]] = a
+            tex_hw[k] = (a.shape[0], a.shape[1])
     else:
         stack = np.zeros((1, 1, 1, 3), np.float32)
+        tex_hw = np.ones((1, 2), np.float32)
 
     env = np.zeros((1, 1, 3), np.float32)
     if env_map_path is not None:
@@ -200,6 +207,7 @@ def compile_scene(
         materials=materials,
         mat_tex=jnp.asarray(mat_tex),
         textures=jnp.asarray(stack),
+        tex_hw=jnp.asarray(tex_hw),
         env_map=jnp.asarray(env),
         emissive_tris=jnp.asarray(emissive),
         camera=camera,
@@ -247,6 +255,7 @@ def scene_from_arrays(
         materials=materials,
         mat_tex=jnp.full((materials.count,), -1, jnp.int32),
         textures=jnp.zeros((1, 1, 1, 3), jnp.float32),
+        tex_hw=jnp.ones((1, 2), jnp.float32),
         env_map=jnp.asarray(env_map if env_map is not None else np.zeros((1, 1, 3), np.float32)),
         emissive_tris=jnp.asarray(em),
         camera=camera,

@@ -75,14 +75,26 @@ def sky_gradient(d: jnp.ndarray) -> jnp.ndarray:
     return m.lerp(white, blue, t[..., None])
 
 
-def sample_atlas_nearest(atlas: jnp.ndarray, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+def sample_atlas_nearest(
+    atlas: jnp.ndarray, tex_id: jnp.ndarray, uv: jnp.ndarray,
+    tex_hw: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Stacked-texture lookup: atlas [K,H,W,3], tex_id [...], uv [...,2].
 
+    ``tex_hw`` [K,2] gives each texture's TRUE (h,w) before zero-padding to
+    the stacked extent; uv is scaled by the texture's own size so scenes
+    mixing texture sizes never sample the padding.  Omitting it assumes all
+    textures fill the atlas (back-compat for uniformly-sized test scenes).
     tex_id < 0 returns zeros (caller keeps the material base_color then).
     """
-    h, w = atlas.shape[1], atlas.shape[2]
-    x = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
     k = jnp.maximum(tex_id, 0)
+    if tex_hw is None:
+        h = jnp.float32(atlas.shape[1])
+        w = jnp.float32(atlas.shape[2])
+    else:
+        hw = tex_hw[k]  # [...,2] (K is tiny; gather is from a <=K*2 table)
+        h, w = hw[..., 0], hw[..., 1]
+    x = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, (w - 1).astype(jnp.int32))
+    y = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, (h - 1).astype(jnp.int32))
     out = atlas[k, y, x]
     return jnp.where((tex_id >= 0)[..., None], out, 0.0)

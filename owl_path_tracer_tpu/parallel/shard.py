@@ -51,34 +51,19 @@ def sharded_sample_sum(
     lights,
     enable_textures: bool,
     num_samples: int,
+    env_light=None,
 ):
     """Build the pjit'd per-shard sampler: (pixel_xy, rng) -> (sum, rng', rays).
 
     Scene/accel/lights are closed over (replicated by XLA); pixel arrays are
     sharded along 'px'.
     """
-    from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
-    from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
-
     def local_render(pixel_xy, rng_state):
-        if isinstance(accel, ClusterBVH):
-            intersect_fn = make_cluster_intersector(accel)
-
-            def occlude_fn(p, d, dist):
-                return cluster_occluded(p, d, accel, t_max=dist)
-
-        elif isinstance(accel, DeviceBVH):
-            intersect_fn = make_bvh_intersector(accel)
-
-            def occlude_fn(p, d, dist):
-                return bvh_occluded(p, d, accel, t_max=dist)
-
-        else:
-            intersect_fn = integrator.make_brute_intersector(scene)
-            occlude_fn = integrator.make_brute_occluder(scene)
+        intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
         return integrator.sample_sum(
             scene, settings, pixel_xy, rng_state, num_samples, intersect_fn,
             enable_textures, lights=lights, occlude_fn=occlude_fn,
+            env_light=env_light,
         )
 
     fn = jax.shard_map(
@@ -109,10 +94,19 @@ def render_image_sharded(
     spp = settings.max_samples if spp is None else spp
 
     lights = None
+    env_light = None
     if settings.use_nee:
         from ..models.lights import build_light_table
 
         lights = build_light_table(scene)
+        if settings.environment_use:
+            # same env treatment as the single-chip film path (film.py); a
+            # missing env_light here made env-NEE silently differ multi-chip
+            from ..models.envlight import build_env_light
+
+            env_light = build_env_light(
+                np.asarray(scene.env_map), settings.environment_intensity
+            )
     enable_textures = scene_has_textures(scene)
 
     px = _pixel_grid(settings.width, settings.height)
@@ -122,7 +116,7 @@ def render_image_sharded(
         px = np.concatenate([px, np.tile(px[-1:], (pad, 1))])
     state = np.asarray(rng_mod.seed(jnp.asarray(px[:, 0]), jnp.asarray(px[:, 1])))
 
-    fn = sharded_sample_sum(mesh, scene, settings, accel, lights, enable_textures, spp)
+    fn = sharded_sample_sum(mesh, scene, settings, accel, lights, enable_textures, spp, env_light=env_light)
     sharding = _shard_spec(mesh)
     px_d = jax.device_put(jnp.asarray(px), sharding)
     st_d = jax.device_put(jnp.asarray(state), sharding)
@@ -186,3 +180,141 @@ def sharded_loss_and_grad(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+# ── sharded PRODUCTION renderer: persistent wavefront pool per chip ─────────
+
+
+def sharded_wavefront_chunk(
+    mesh: Mesh,
+    scene: Scene,
+    settings: RenderSettings,
+    accel,
+    enable_textures: bool,
+    iters: int,
+    lights,
+    env_light,
+):
+    """shard_map'd ``iters`` wavefront steps.  Every chip runs its own
+    persistent lane pool over a disjoint slice of the (pixel, sample) work
+    queue; the scene/accel (including the fused2 Pallas traversal) are
+    replicated.  Pool lane arrays are sharded on their leading axis; the
+    per-chip film/work-counter/ray-counter carry an explicit [n_dev] leading
+    axis."""
+    from ..render.wavefront import PoolState, wavefront_step
+
+    def shard_body(st_g: PoolState, work_hi):
+        st = st_g._replace(
+            work_counter=st_g.work_counter[0],
+            acc=st_g.acc[0],
+            rays=st_g.rays[0],
+        )
+        hi = work_hi[0]
+
+        def body(st, _):
+            return wavefront_step(
+                scene, settings, st, intersect_fn, enable_textures, hi,
+                lights=lights, occlude_fn=occlude_fn, env_light=env_light,
+            ), None
+
+        intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
+        st, _ = jax.lax.scan(body, st, None, length=iters)
+        status = jnp.stack(
+            [(st.work_counter >= hi).astype(jnp.int32),
+             jnp.any(st.alive).astype(jnp.int32)]
+        )
+        st_g = st._replace(
+            work_counter=st.work_counter[None],
+            acc=st.acc[None],
+            rays=st.rays[None],
+        )
+        return st_g, status[None]
+
+    pool_spec = PoolState(
+        pixel=P("px"), ray_o=P("px"), ray_d=P("px"), throughput=P("px"),
+        result=P("px"), rng=P("px"), alive=P("px"), prev_lobe=P("px"),
+        depth=P("px"), prev_pdf=P("px"), work_counter=P("px"), acc=P("px"),
+        rays=P("px"),
+    )
+    fn = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(pool_spec, P("px")),
+        out_specs=(pool_spec, P("px")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def render_image_wavefront_sharded(
+    scene: Scene,
+    settings: RenderSettings,
+    mesh: Optional[Mesh] = None,
+    accel=None,
+    lanes_per_chip: int = 131072,
+    iters_per_launch: int = 16,
+    max_launches: int = 1000,
+):
+    """Full-frame render: one persistent wavefront pool PER CHIP.
+
+    The (pixel, sample) work queue is split into contiguous per-chip ranges;
+    each work item's RNG stream depends only on its (pixel, sample) id
+    (render/wavefront.py _spawn), so the sharded render equals the
+    single-chip wavefront render up to f32 film-summation order.
+
+    Returns (image f32 [H,W,3] top-row-first, rays_traced).
+    """
+    from ..render.wavefront import new_pool
+
+    if mesh is None:
+        mesh = make_pixel_mesh()
+    n_dev = mesh.devices.size
+    total_work = settings.width * settings.height * settings.max_samples
+
+    lights = None
+    env_light = None
+    if settings.use_nee:
+        from ..models.envlight import build_env_light
+        from ..models.lights import build_light_table
+
+        lights = build_light_table(scene)
+        if settings.environment_use:
+            env_light = build_env_light(
+                np.asarray(scene.env_map), settings.environment_intensity
+            )
+    enable_textures = scene_has_textures(scene)
+
+    # contiguous per-chip work ranges
+    edges = np.linspace(0, total_work, n_dev + 1).round().astype(np.int32)
+    work_lo, work_hi = edges[:-1], edges[1:]
+
+    # stack per-chip pools along the sharded leading axis
+    pools = [new_pool(settings, lanes_per_chip, work_lo=int(lo)) for lo in work_lo]
+    st = jax.tree.map(lambda *xs: jnp.concatenate([x[None] for x in xs]), *pools)
+    # lane arrays shard by flattening [n_dev, lanes] -> [n_dev*lanes]
+    from ..render.wavefront import PoolState
+
+    st = PoolState(
+        *[
+            (x.reshape((-1,) + x.shape[2:]) if name not in ("work_counter", "acc", "rays") else x)
+            for name, x in zip(PoolState._fields, st)
+        ]
+    )
+
+    sharding = _shard_spec(mesh)
+    st = jax.tree.map(lambda x: jax.device_put(x, sharding), st)
+    hi_d = jax.device_put(jnp.asarray(work_hi), sharding)
+
+    fn = sharded_wavefront_chunk(
+        mesh, scene, settings, accel, enable_textures, iters_per_launch,
+        lights, env_light,
+    )
+    for _ in range(max_launches):
+        st, status = fn(st, hi_d)
+        status = np.asarray(status)
+        if status[:, 0].all() and not status[:, 1].any():
+            break
+
+    acc = np.asarray(st.acc).sum(axis=0)  # per-chip pixel sets are disjoint
+    img = acc.reshape(settings.height, settings.width, 3) / settings.max_samples
+    return img[::-1].copy(), int(np.asarray(st.rays).sum())

@@ -107,7 +107,7 @@ def _split_materials(mblob):
 
 def _tex_lookup(scene: Scene, mat_id, tc, base_color):
     tex_id = scene.mat_tex[mat_id]
-    tex_color = tex.sample_atlas_nearest(scene.textures, tex_id, tc)
+    tex_color = tex.sample_atlas_nearest(scene.textures, tex_id, tc, scene.tex_hw)
     return jnp.where((tex_id >= 0)[..., None], tex_color, base_color)
 
 
@@ -553,3 +553,37 @@ def make_brute_occluder(scene: Scene, tri_chunk: int = 512) -> Callable:
         )
 
     return occlude
+
+
+def make_intersectors(scene: Scene, accel, tri_chunk: int = 512):
+    """Accel -> (intersect_fn, occlude_fn) dispatch shared by every renderer
+    (film, wavefront, sharded).  ``accel=None`` selects the brute sweep."""
+    from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
+    from ..ops.fused import FusedBVH, fused_occluded, make_fused_intersector
+    from ..ops.fused2 import Fused2BVH, fused2_occluded, make_fused2_intersector
+    from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
+
+    if isinstance(accel, Fused2BVH):
+        return (
+            make_fused2_intersector(accel),
+            lambda p, d, dist: fused2_occluded(p, d, accel, t_max=dist),
+        )
+    if isinstance(accel, FusedBVH):
+        return (
+            make_fused_intersector(accel),
+            lambda p, d, dist: fused_occluded(p, d, accel, t_max=dist),
+        )
+    if isinstance(accel, ClusterBVH):
+        return (
+            make_cluster_intersector(accel),
+            lambda p, d, dist: cluster_occluded(p, d, accel, t_max=dist),
+        )
+    if isinstance(accel, DeviceBVH):
+        return (
+            make_bvh_intersector(accel),
+            lambda p, d, dist: bvh_occluded(p, d, accel, t_max=dist),
+        )
+    return (
+        make_brute_intersector(scene, tri_chunk=tri_chunk),
+        make_brute_occluder(scene, tri_chunk=tri_chunk),
+    )

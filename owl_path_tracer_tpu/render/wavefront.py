@@ -55,11 +55,11 @@ def _spawn(scene, settings, lane_work_id, total_work):
     sample = lane_work_id % spp
     px = pixel_lin % settings.width
     py = pixel_lin // settings.width
-    # decorrelated per-sample stream: fold the sample index into the tea hash
-    st = rng_mod.seed(
-        px.astype(jnp.uint32) + jnp.uint32(0x9E3779B1) * sample.astype(jnp.uint32),
-        py.astype(jnp.uint32),
-    )
+    # decorrelated per-sample stream: seed the tea hash with the two full
+    # words (linear pixel id, sample id) -- distinct work items are distinct
+    # hash inputs, so streams cannot collide by construction (a previous
+    # px + 0x9E3779B1*sample folding aliased (pixel, sample) pairs)
+    st = rng_mod.seed(pixel_lin.astype(jnp.uint32), sample.astype(jnp.uint32))
     j0, st = rng_mod.next_f32(st)
     j1, st = rng_mod.next_f32(st)
     pixel_xy = jnp.stack([px, py], -1)
@@ -150,53 +150,23 @@ def wavefront_step(
     )
 
 
-@partial(jax.jit, static_argnames=("settings", "enable_textures", "total_work", "iters", "accel_kind"))
-def _run_chunk(scene, settings, st, accel, enable_textures, total_work, iters, accel_kind, lights, env_light):
-    from ..ops.cluster import cluster_occluded, make_cluster_intersector
-    from ..ops.traverse import bvh_occluded, make_bvh_intersector
-
-    if accel_kind == "fused2":
-        from ..ops.fused2 import fused2_occluded, make_fused2_intersector
-
-        intersect_fn = make_fused2_intersector(accel)
-
-        def occlude_fn(p, d, dist):
-            return fused2_occluded(p, d, accel, t_max=dist)
-
-    elif accel_kind == "fused":
-        from ..ops.fused import fused_occluded, make_fused_intersector
-
-        intersect_fn = make_fused_intersector(accel)
-
-        def occlude_fn(p, d, dist):
-            return fused_occluded(p, d, accel, t_max=dist)
-
-    elif accel_kind == "cluster":
-        intersect_fn = make_cluster_intersector(accel)
-
-        def occlude_fn(p, d, dist):
-            return cluster_occluded(p, d, accel, t_max=dist)
-
-    elif accel_kind == "bvh":
-        intersect_fn = make_bvh_intersector(accel)
-
-        def occlude_fn(p, d, dist):
-            return bvh_occluded(p, d, accel, t_max=dist)
-
-    else:
-        intersect_fn = integrator.make_brute_intersector(scene)
-        occlude_fn = integrator.make_brute_occluder(scene)
+@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters"))
+def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light):
+    """``iters`` wavefront steps.  ``work_hi`` is traced (per-shard bound when
+    the pool runs under shard_map); accel dispatch is by python type."""
+    intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
 
     def body(st, _):
         return wavefront_step(
-            scene, settings, st, intersect_fn, enable_textures, total_work,
+            scene, settings, st, intersect_fn, enable_textures, work_hi,
             lights=lights, occlude_fn=occlude_fn, env_light=env_light,
         ), None
 
     st, _ = jax.lax.scan(body, st, None, length=iters)
     # one tiny i32 vector for the host loop-exit test: a single relay readback
     status = jnp.stack(
-        [st.work_counter, jnp.any(st.alive).astype(jnp.int32)]
+        [(st.work_counter >= work_hi).astype(jnp.int32),
+         jnp.any(st.alive).astype(jnp.int32)]
     )
     return st, status
 
@@ -213,19 +183,8 @@ def render_image_wavefront(
 
     Returns (image f32 [H,W,3] top-row-first, rays_traced).
     """
-    from ..ops.cluster import ClusterBVH
-    from ..ops.fused import FusedBVH
-    from ..ops.fused2 import Fused2BVH
-    from ..ops.traverse import DeviceBVH
     from .film import scene_has_textures
 
-    accel_kind = (
-        "fused2" if isinstance(accel, Fused2BVH)
-        else "fused" if isinstance(accel, FusedBVH)
-        else "cluster" if isinstance(accel, ClusterBVH)
-        else "bvh" if isinstance(accel, DeviceBVH)
-        else "brute"
-    )
     enable_textures = scene_has_textures(scene)
     total_work = settings.width * settings.height * settings.max_samples
 
@@ -241,7 +200,26 @@ def render_image_wavefront(
                 np.asarray(scene.env_map), settings.environment_intensity
             )
 
-    st = PoolState(
+    st = new_pool(settings, lanes)
+
+    for _ in range(max_launches):
+        st, status = _run_chunk(
+            scene, settings, st, accel, enable_textures, jnp.int32(total_work),
+            iters_per_launch, lights, env_light,
+        )
+        status = np.asarray(status)
+        if status[0] and not status[1]:
+            break
+
+    img = np.asarray(st.acc).reshape(settings.height, settings.width, 3)
+    img = img / settings.max_samples
+    return img[::-1].copy(), int(st.rays)
+
+
+def new_pool(settings: RenderSettings, lanes: int, work_lo=0) -> PoolState:
+    """Fresh all-idle pool; lanes spawn on the first step starting at
+    work item ``work_lo`` (per-shard offset under shard_map)."""
+    return PoolState(
         pixel=jnp.zeros((lanes,), jnp.int32),
         ray_o=jnp.zeros((lanes, 3), jnp.float32),
         ray_d=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (lanes, 3)),
@@ -252,20 +230,7 @@ def render_image_wavefront(
         prev_lobe=jnp.full((lanes,), disney.LOBE_NONE, jnp.int32),
         depth=jnp.zeros((lanes,), jnp.int32),
         prev_pdf=jnp.zeros((lanes,), jnp.float32),
-        work_counter=jnp.int32(0),
+        work_counter=jnp.asarray(work_lo, jnp.int32),
         acc=jnp.zeros((settings.width * settings.height, 3), jnp.float32),
         rays=jnp.int32(0),
     )
-
-    for _ in range(max_launches):
-        st, status = _run_chunk(
-            scene, settings, st, accel, enable_textures, total_work,
-            iters_per_launch, accel_kind, lights, env_light,
-        )
-        status = np.asarray(status)
-        if status[0] >= total_work and not status[1]:
-            break
-
-    img = np.asarray(st.acc).reshape(settings.height, settings.width, 3)
-    img = img / settings.max_samples
-    return img[::-1].copy(), int(st.rays)

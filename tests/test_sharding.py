@@ -78,3 +78,54 @@ def test_sharded_grads_match_single_chip():
     np.testing.assert_allclose(
         np.asarray(grads_sh.base_color), np.asarray(grads_1.base_color), rtol=1e-4, atol=1e-7
     )
+
+
+def test_sharded_wavefront_matches_single_chip():
+    """The PRODUCTION path (persistent wavefront pool per chip) under
+    shard_map: per-(pixel,sample) RNG streams are work-id-determined, so the
+    sharded render equals the single-chip wavefront render up to f32
+    film-summation order."""
+    from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
+
+    scene = small_scene()
+    mesh = shard_mod.make_pixel_mesh()
+    img_s, rays_s = shard_mod.render_image_wavefront_sharded(
+        scene, SETTINGS, mesh=mesh, lanes_per_chip=256, iters_per_launch=4
+    )
+    img_1, rays_1 = render_image_wavefront(
+        scene, SETTINGS, lanes=2048, iters_per_launch=4
+    )
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+    assert rays_s == rays_1  # identical work items -> identical path lengths
+
+
+def test_sharded_wavefront_cluster_nee():
+    from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
+    import dataclasses
+
+    scene = small_scene()
+    accel = film_mod.make_accel(scene, "cluster", cluster_size=64)
+    s = dataclasses.replace(SETTINGS, use_nee=True)
+    mesh = shard_mod.make_pixel_mesh()
+    img_s, _ = shard_mod.render_image_wavefront_sharded(
+        scene, s, mesh=mesh, accel=accel, lanes_per_chip=256, iters_per_launch=4
+    )
+    img_1, _ = render_image_wavefront(scene, s, accel=accel, lanes=2048, iters_per_launch=4)
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_wavefront_fused2_smoke():
+    """fused2 Pallas traversal under shard_map (interpret mode on the CPU
+    mesh): must run and agree with the sharded cluster render."""
+    from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
+
+    scene = small_scene()
+    accel = film_mod.make_accel(scene, "fused2", cluster_size=64)
+    mesh = shard_mod.make_pixel_mesh()
+    img_s, _ = shard_mod.render_image_wavefront_sharded(
+        scene, SETTINGS, mesh=mesh, accel=accel, lanes_per_chip=128, iters_per_launch=4
+    )
+    img_1, _ = render_image_wavefront(
+        scene, SETTINGS, accel=accel, lanes=1024, iters_per_launch=4
+    )
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)

@@ -46,3 +46,20 @@ def test_wavefront_nee_matches_scan_nee():
     lit = img_std.mean(-1) > 0.05
     assert lit.mean() > 0.3
     np.testing.assert_allclose(img_wf[lit].mean(), img_std[lit].mean(), rtol=0.05)
+
+
+def test_spawn_rng_streams_do_not_collide():
+    """(pixel, sample) seeds are two independent tea-hash words (VERDICT r1):
+    all streams over a 256-pixel x 16-sample grid must be distinct."""
+    import jax.numpy as jnp
+    import numpy as np
+    from owl_path_tracer_tpu.ops import rng as rng_mod
+
+    pixels = jnp.arange(256, dtype=jnp.uint32).repeat(16)
+    samples = jnp.tile(jnp.arange(16, dtype=jnp.uint32), 256)
+    states = np.asarray(rng_mod.seed(pixels, samples))
+    assert len(np.unique(states)) == states.size
+    # and the per-sample streams of one pixel start at different draws
+    v0, _ = rng_mod.next_f32(rng_mod.seed(jnp.uint32(7), jnp.uint32(0)))
+    v1, _ = rng_mod.next_f32(rng_mod.seed(jnp.uint32(7), jnp.uint32(1)))
+    assert float(v0) != float(v1)
