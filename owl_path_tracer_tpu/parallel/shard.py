@@ -254,6 +254,7 @@ def render_image_wavefront_sharded(
     lanes_per_chip: int = 131072,
     iters_per_launch: int = 16,
     max_launches: int = 1000,
+    return_stats: bool = False,
 ):
     """Full-frame render: one persistent wavefront pool PER CHIP.
 
@@ -317,4 +318,13 @@ def render_image_wavefront_sharded(
 
     acc = np.asarray(st.acc).sum(axis=0)  # per-chip pixel sets are disjoint
     img = acc.reshape(settings.height, settings.width, 3) / settings.max_samples
-    return img[::-1].copy(), int(np.asarray(st.rays).sum())
+    per_chip = np.asarray(st.rays, np.int64)
+    if return_stats:
+        stats = {
+            "per_chip_rays": per_chip.tolist(),
+            # load balance = mean/max: the scaling efficiency bound from work
+            # imbalance alone (comm here is one film reduction at the end)
+            "load_balance": float(per_chip.mean() / max(per_chip.max(), 1)),
+        }
+        return img[::-1].copy(), int(per_chip.sum()), stats
+    return img[::-1].copy(), int(per_chip.sum())

@@ -25,7 +25,10 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--cluster-size", type=int, default=128)
+    ap.add_argument("--cluster-size", type=int, default=None)
+    ap.add_argument("--renderer", choices=["wavefront", "scan"], default="wavefront")
+    ap.add_argument("--intersector", default="cluster")
+    ap.add_argument("--lanes-per-chip", type=int, default=8192)
     args = ap.parse_args()
 
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "assets"))
@@ -45,30 +48,47 @@ def main():
         width=args.size, height=args.size, max_samples=args.spp,
         max_path_depth=args.depth, environment_auto=True, environment_intensity=1.0,
     )
-    accel = film_mod.make_accel(scene, "cluster", cluster_size=args.cluster_size)
+    accel = film_mod.make_accel(scene, args.intersector, cluster_size=args.cluster_size)
 
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     base_rate = None
     for n in counts:
         mesh = shard_mod.make_pixel_mesh(devices[:n])
-        # warm-up compile
-        shard_mod.render_image_sharded(scene, settings, mesh=mesh, spp=1, accel=accel)
-        t0 = time.time()
-        img = shard_mod.render_image_sharded(scene, settings, mesh=mesh, accel=accel)
-        dt = time.time() - t0
-        # approximate rays = pixels*spp*avg_len; use pixels*spp as lower bound
-        work = args.size * args.size * args.spp
+        if args.renderer == "wavefront":
+            # the PRODUCTION path: per-chip persistent wavefront pools
+            render = lambda: shard_mod.render_image_wavefront_sharded(
+                scene, settings, mesh=mesh, accel=accel,
+                lanes_per_chip=args.lanes_per_chip, return_stats=True,
+            )
+            render()  # warm-up compile
+            t0 = time.time()
+            img, rays, stats = render()
+            dt = time.time() - t0
+            work = rays  # live rays counted on-device
+        else:
+            shard_mod.render_image_sharded(scene, settings, mesh=mesh, spp=1, accel=accel)
+            t0 = time.time()
+            img = shard_mod.render_image_sharded(scene, settings, mesh=mesh, accel=accel)
+            dt = time.time() - t0
+            work = args.size * args.size * args.spp  # paths (lower bound on rays)
         rate = work / dt
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * n)
-        print(json.dumps({
+        rec = {
             "devices": n,
             "seconds": round(dt, 3),
-            "paths_per_s": round(rate),
+            ("rays_per_s" if args.renderer == "wavefront" else "paths_per_s"): round(rate),
             "efficiency_vs_1dev": round(eff, 3),
             "image_mean": round(float(img.mean()), 6),
-        }))
+        }
+        if args.renderer == "wavefront":
+            # on virtual CPU devices (shared host cores) wall-clock efficiency
+            # is core-bound and meaningless; load_balance = mean/max per-chip
+            # rays is the work-imbalance bound on real-chip scaling
+            rec["load_balance"] = round(stats["load_balance"], 4)
+            rec["per_chip_rays"] = stats["per_chip_rays"]
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
