@@ -1,10 +1,18 @@
-"""Deterministic golden-value regression tests.
+"""Golden-IMAGE regression tests: full committed arrays, every intersector.
 
-The renders are deterministic (fixed LCG streams), so low-spp scene renders
-have stable pixel statistics; these lock in current behavior so refactors
+The renders are deterministic (fixed LCG streams), so low-spp renders are
+bit-stable; the committed ``tests/goldens/*.npy`` images (produced by the
+brute-force intersector, tools/make_goldens.py) lock in behavior so refactors
 (new intersectors, Pallas kernels, sharding) can't silently change output.
-Golden values were produced by the brute-force intersector and are asserted
-for every intersector, which also pins cross-intersector equality.
+
+brute / bvh / cluster reproduce the goldens BITWISE (shared mt_components op
+order).  fused2 computes hit positions as ``o + t*d`` instead of the
+barycentric lerp (render/integrator.py _fetch_surface_blob), so it is asserted
+within a tight tolerance instead.
+
+This is the repo's version of the reference's image-series verification
+(application.cpp:370), made automatic -- the reference had no golden tests at
+all (unit_tests/path_tracer_test.cu is a placeholder).
 """
 import pathlib
 
@@ -15,6 +23,26 @@ from owl_path_tracer_tpu.models.scene import RenderSettings, compile_scene
 from owl_path_tracer_tpu.render import film as film_mod
 
 ASSETS = pathlib.Path(__file__).resolve().parents[1] / "assets"
+GOLDENS = pathlib.Path(__file__).resolve().parent / "goldens"
+
+CORNELL = RenderSettings(
+    width=48, height=48, max_samples=4, max_path_depth=4,
+    environment_color=(0, 0, 0), environment_intensity=0.0,
+)
+SPHERE = RenderSettings(
+    width=48, height=48, max_samples=4, max_path_depth=3,
+    environment_auto=True, environment_intensity=1.0,
+)
+CUBE = RenderSettings(  # textured scene (base-color texture lookup path)
+    width=48, height=48, max_samples=4, max_path_depth=3,
+    environment_auto=True, environment_intensity=1.0,
+)
+
+CONFIGS = {
+    "cornell-box": ("cornell-box", CORNELL),
+    "sphere": ("sphere", SPHERE),
+    "cube": ("cube", CUBE),
+}
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -33,34 +61,24 @@ def render(scene_name, settings, intersector):
     return film_mod.render_image(scene, settings, pixel_chunk=4096, accel=accel)
 
 
-CORNELL = RenderSettings(
-    width=48, height=48, max_samples=4, max_path_depth=4,
-    environment_color=(0, 0, 0), environment_intensity=0.0,
-)
-SPHERE = RenderSettings(
-    width=48, height=48, max_samples=4, max_path_depth=3,
-    environment_auto=True, environment_intensity=1.0,
-)
-
-
+@pytest.mark.parametrize("config", list(CONFIGS))
 @pytest.mark.parametrize("intersector", ["brute", "bvh", "cluster"])
-def test_cornell_golden(intersector):
-    img = render("cornell-box", CORNELL, intersector)
+def test_golden_image_exact(config, intersector):
+    scene_name, settings = CONFIGS[config]
+    img = render(scene_name, settings, intersector)
+    golden = np.load(GOLDENS / f"{config}.npy")
+    np.testing.assert_array_equal(img, golden)
+
+
+@pytest.mark.parametrize("config", list(CONFIGS))
+def test_golden_image_fused2(config):
+    scene_name, settings = CONFIGS[config]
+    img = render(scene_name, settings, "fused2")
+    golden = np.load(GOLDENS / f"{config}.npy")
     assert np.isfinite(img).all()
-    # golden statistics from the brute-force render (rounded)
-    np.testing.assert_allclose(img.mean(), 0.17278366, rtol=1e-4)
-    np.testing.assert_allclose(img[:, :, 1].mean(), 0.18428108, rtol=1e-4)
-    np.testing.assert_allclose(img.max(), 15.0, rtol=1e-5)  # the light
-
-
-@pytest.mark.parametrize("intersector", ["brute", "bvh", "cluster"])
-def test_sphere_golden(intersector):
-    img = render("sphere", SPHERE, intersector)
-    assert np.isfinite(img).all()
-    np.testing.assert_allclose(img.mean(), 0.89442927, rtol=1e-4)
-
-
-def test_intersectors_bitwise_equal_on_cornell():
-    imgs = [render("cornell-box", CORNELL, k) for k in ("brute", "bvh", "cluster")]
-    np.testing.assert_array_equal(imgs[0], imgs[1])
-    np.testing.assert_array_equal(imgs[0], imgs[2])
+    # o+t*d hit positions perturb secondary rays by ~1 ulp; the estimator is
+    # identical, so pixels agree tightly except (rarely) where a bounce ray
+    # grazes a silhouette
+    close = np.isclose(img, golden, rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.995, f"{config}: only {close.mean():.4%} pixels match"
+    np.testing.assert_allclose(img.mean(), golden.mean(), rtol=1e-3)
