@@ -183,20 +183,19 @@ def _intersect_cluster(ray_o, ray_d, cb: ClusterBVH, cid, t_min, best_t):
 
 MAX_CANDIDATES = 16
 
-# Phase-B strategy, swept on hardware via tools/tpu_probe.py:
+# Phase-B strategy (API parameter of cluster_closest_hit; swept on hardware
+# via tools/tpu_probe.py):
 #   direct -- per-ray blob gather (N * C*9 floats per step)
 #   sorted -- argsort rays by cluster id first (coherent gather runs)
 #   binned -- cluster-aligned bins, one blob gather per bin (~50x fewer bytes)
-import os as _os
-
-PHASE_B = _os.environ.get("OWLPT_PHASE_B", "direct")
-if _os.environ.get("OWLPT_SORT_RAYS") == "1":  # back-compat alias
-    PHASE_B = "sorted"
+#   pallas -- the scalar-prefetch binned Pallas kernel (ops/pallas_kernels.py)
+DEFAULT_PHASE_B = "direct"
 
 # The exact overflow continuation guarantees closest-hit exactness for rays
-# with >max_candidates intersected clusters.  Disable to measure its cost
-# (rays beyond the candidate list then terminate on the list's best hit).
-EXACT_OVERFLOW = _os.environ.get("OWLPT_EXACT_OVERFLOW", "1") == "1"
+# with >max_candidates intersected clusters.  Disable (exact_overflow=False)
+# to measure its cost (rays beyond the candidate list then terminate on the
+# list's best hit).
+DEFAULT_EXACT_OVERFLOW = True
 
 
 def _sorted_intersect(ray_o, ray_d, cb, cid, t_min, best_t):
@@ -285,7 +284,7 @@ def _binned_intersect(ray_o, ray_d, cb, cid, t_min, best_t, block: int = 64):
     return unpack(tj), unpack(tri_b), jnp.stack([unpack(u_b), unpack(v_b)], -1), unpack(hit_b)
 
 
-@partial(jax.jit, static_argnames=("any_hit", "max_candidates"))
+@partial(jax.jit, static_argnames=("any_hit", "max_candidates", "phase_b", "exact_overflow"))
 def cluster_closest_hit(
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
@@ -294,6 +293,8 @@ def cluster_closest_hit(
     t_max: float = m.T_MAX,
     any_hit: bool = False,
     max_candidates: int = MAX_CANDIDATES,
+    phase_b: str = DEFAULT_PHASE_B,
+    exact_overflow: bool = DEFAULT_EXACT_OVERFLOW,
 ) -> HitRecord:
     """Exact closest hit (or first hit with ``any_hit``).
 
@@ -339,7 +340,7 @@ def cluster_closest_hit(
         else:
             active = cur_t < best_t
         cid_safe = jnp.where(active, cid, 0)
-        if PHASE_B == "pallas":
+        if phase_b == "pallas":
             from .pallas_kernels import pallas_binned_intersect
 
             lt, ltri, luv, lhit = pallas_binned_intersect(
@@ -350,7 +351,7 @@ def cluster_closest_hit(
                 "direct": _intersect_cluster,
                 "sorted": _sorted_intersect,
                 "binned": _binned_intersect,
-            }[PHASE_B]
+            }[phase_b]
             lt, ltri, luv, lhit = isect(ray_o, ray_d, cb, cid_safe, t_min, best_t)
         better = active & lhit & (lt < best_t)
         best_t = jnp.where(better, lt, best_t)
@@ -360,7 +361,7 @@ def cluster_closest_hit(
 
     best_t, best_tri, best_uv = jax.lax.fori_loop(0, kc, body, state)
 
-    if not EXACT_OVERFLOW:
+    if not exact_overflow:
         return HitRecord(t=best_t, tri=best_tri, uv=best_uv)
 
     # ── exact overflow continuation (rare; skipped entirely when unneeded) ──
@@ -429,9 +430,9 @@ def cluster_closest_hit(
     return HitRecord(t=best_t, tri=best_tri, uv=best_uv)
 
 
-def make_cluster_intersector(cb: ClusterBVH):
+def make_cluster_intersector(cb: ClusterBVH, **kw):
     def intersect(ray_o, ray_d):
-        return cluster_closest_hit(ray_o, ray_d, cb)
+        return cluster_closest_hit(ray_o, ray_d, cb, **kw)
 
     return intersect
 

@@ -139,19 +139,10 @@ def sharded_loss_and_grad(
     """Builds a pjit'd (materials, pixel_xy, rng, target) -> (loss, grads)
     where pixels/targets are sharded and the material gradient is psum'd over
     the mesh -- the all-reduce-over-ICI pattern from BASELINE.json."""
-    from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
 
     def local_loss(materials, pixel_xy, rng_state, target):
         s2 = scene._replace(materials=materials)
-        if isinstance(accel, ClusterBVH):
-            intersect_fn = make_cluster_intersector(accel)
-
-            def occlude_fn(p, d, dist):
-                return cluster_occluded(p, d, accel, t_max=dist)
-
-        else:
-            intersect_fn = integrator.make_brute_intersector(s2)
-            occlude_fn = integrator.make_brute_occluder(s2)
+        intersect_fn, occlude_fn = integrator.make_intersectors(s2, accel)
         lights = None
         if settings.use_nee:
             from ..models.lights import build_light_table

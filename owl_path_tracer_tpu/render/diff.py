@@ -42,6 +42,44 @@ _UNIT_FIELDS = (
     jax.jit,
     static_argnames=("settings", "num_samples", "enable_textures"),
 )
+def render_with_params(
+    scene: Scene,
+    materials: Materials,
+    env_map: jnp.ndarray,
+    camera,
+    settings: RenderSettings,
+    pixel_xy: jnp.ndarray,
+    num_samples: int,
+    accel,
+    enable_textures: bool = False,
+):
+    """Deterministic spp-averaged radiance for a pixel set, differentiable
+    w.r.t. materials, the environment map texels, AND the camera basis
+    (all substituted into the scene).
+
+    Works with every accel (integrator.make_intersectors); note that the
+    fused2 Pallas traversal stop-gradients its hit records, so it gives
+    correct MATERIAL and ENV gradients (hit geometry is parameter-independent)
+    but camera gradients need the differentiable cluster/brute traversal
+    (hit t depends on the ray there).
+    """
+    scene = scene._replace(materials=materials, env_map=env_map, camera=camera)
+    lights = None
+    occlude_fn = None
+    if settings.use_nee:
+        from ..models.lights import build_light_table
+
+        lights = build_light_table(scene)
+    intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
+
+    state0 = rng_mod.seed(pixel_xy[..., 0], pixel_xy[..., 1])
+    acc, _, _ = integrator.sample_sum(
+        scene, settings, pixel_xy, state0, num_samples, intersect_fn,
+        enable_textures, lights=lights, occlude_fn=occlude_fn,
+    )
+    return acc / float(num_samples)
+
+
 def render_with_materials(
     scene: Scene,
     materials: Materials,
@@ -51,33 +89,11 @@ def render_with_materials(
     accel,
     enable_textures: bool = False,
 ):
-    """Deterministic spp-averaged radiance for a pixel set, differentiable
-    w.r.t. ``materials`` (substituted into the scene)."""
-    scene = scene._replace(materials=materials)
-    lights = None
-    occlude_fn = None
-    if settings.use_nee:
-        from ..models.lights import build_light_table
-
-        lights = build_light_table(scene)
-    from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
-
-    if isinstance(accel, ClusterBVH):
-        intersect_fn = make_cluster_intersector(accel)
-
-        def occlude_fn(pos, d, dist):
-            return cluster_occluded(pos, d, accel, t_max=dist)
-
-    else:
-        intersect_fn = integrator.make_brute_intersector(scene)
-        occlude_fn = integrator.make_brute_occluder(scene)
-
-    state0 = rng_mod.seed(pixel_xy[..., 0], pixel_xy[..., 1])
-    acc, _, _ = integrator.sample_sum(
-        scene, settings, pixel_xy, state0, num_samples, intersect_fn,
-        enable_textures, lights=lights, occlude_fn=occlude_fn,
+    """Back-compat wrapper differentiating w.r.t. materials only."""
+    return render_with_params(
+        scene, materials, scene.env_map, scene.camera, settings, pixel_xy,
+        num_samples, accel, enable_textures,
     )
-    return acc / float(num_samples)
 
 
 def image_loss(
@@ -97,6 +113,34 @@ def image_loss(
 loss_and_grad = jax.value_and_grad(image_loss, argnums=1)
 
 
+def env_loss(scene, env_map, settings, pixel_xy, target, num_samples, accel):
+    """MSE differentiable w.r.t. the environment-map texels."""
+    img = render_with_params(
+        scene, scene.materials, env_map, scene.camera, settings, pixel_xy,
+        num_samples, accel,
+    )
+    return jnp.mean((img - target) ** 2)
+
+
+env_loss_and_grad = jax.value_and_grad(env_loss, argnums=1)
+
+
+def camera_loss(scene, camera, settings, pixel_xy, target, num_samples, accel):
+    """MSE differentiable w.r.t. the camera basis (CameraData pytree).
+
+    Requires a differentiable traversal (cluster/brute): hit distances depend
+    on the rays, and the fused2 kernel stop-gradients its hit records.
+    """
+    img = render_with_params(
+        scene, scene.materials, scene.env_map, camera, settings, pixel_xy,
+        num_samples, accel,
+    )
+    return jnp.mean((img - target) ** 2)
+
+
+camera_loss_and_grad = jax.value_and_grad(camera_loss, argnums=1)
+
+
 class RecoveryResult(NamedTuple):
     materials: Materials
     losses: np.ndarray
@@ -113,11 +157,15 @@ def recover_materials(
     num_samples: int = 8,
     accel=None,
     trainable: Optional[Sequence[str]] = None,
+    grad_mask: Optional[Materials] = None,
 ) -> RecoveryResult:
     """Adam loop recovering material parameters from a rendered target.
 
     ``trainable`` restricts optimization to a subset of fields (defaults to
-    base_color + roughness + metallic + specular_transmission + emission).
+    base_color + roughness + metallic + specular_transmission + emission);
+    ``grad_mask`` (a Materials pytree of 0/1) further restricts updates to
+    chosen ROWS, e.g. one material of a multi-material scene -- Adam's
+    unit-scale steps otherwise make every unconstrained row wander.
     Unit-interval fields are clamped after each step.
     """
     import optax
@@ -141,6 +189,8 @@ def recover_materials(
             g if name in trainable else jnp.zeros_like(g)
             for name, g in zip(Materials._fields, grads)
         ])
+        if grad_mask is not None:
+            grads = jax.tree.map(lambda g, mk: g * mk, grads, grad_mask)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         # project to physical ranges

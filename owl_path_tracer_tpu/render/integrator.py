@@ -124,7 +124,15 @@ def _fetch_surface_blob(scene: Scene, hit: HitRecord, blob, ray_o, ray_d, enable
     pos = ray_o + hit.t[..., None] * ray_d
 
     sh_n = w * blob[:, 0:3] + u * blob[:, 3:6] + v * blob[:, 6:9]
-    sh_n = sh_n / jnp.sqrt(jnp.maximum(m.dot(sh_n, sh_n), 1e-20))[..., None]
+    # miss lanes carry a ZERO payload; give them a unit default normal so
+    # dead-lane BSDF math can't produce NaN partials that poison gradients
+    # through the where-masking (0 * NaN = NaN in the backward pass)
+    len2 = m.dot(sh_n, sh_n)
+    unit = sh_n / jnp.sqrt(jnp.maximum(len2, 1e-20))[..., None]
+    sh_n = jnp.where(
+        (len2 > 1e-12)[..., None], unit,
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), unit.shape),
+    )
 
     mat_id = blob[:, 15].astype(jnp.int32)
     mat = _split_materials(_material_lookup(scene, mat_id))

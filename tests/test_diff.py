@@ -107,3 +107,163 @@ def test_material_recovery_base_color():
     got = np.asarray(res.materials.base_color)[0]
     np.testing.assert_allclose(got, true_color, atol=0.05)
     assert res.losses[-1] < res.losses[0] * 0.05
+
+
+# ── round 2: env-map, camera, fused2, car-scene coverage (VERDICT r1 #7) ──
+
+
+def env_sphere_scene():
+    import dataclasses
+
+    scene = diffuse_sphere_scene()
+    env = np.zeros((4, 8, 3), np.float32)
+    env[:, :, 0] = 0.8
+    env[2, 3] = [0.1, 0.9, 0.2]
+    scene = scene._replace(env_map=jnp.asarray(env))
+    settings = dataclasses.replace(
+        SETTINGS, environment_use=True, environment_color=(0, 0, 0)
+    )
+    return scene, settings
+
+
+def test_grad_env_map_fd():
+    """Environment-map texel gradients match finite differences."""
+    scene, settings = env_sphere_scene()
+    px = pixel_grid()
+    target = jnp.zeros((256, 3))
+
+    def loss_of(env):
+        return diff_mod.env_loss(scene, env, settings, px, target, 4, None)
+
+    loss0, g = jax.value_and_grad(loss_of)(scene.env_map)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+    # FD on the largest-gradient texel
+    iy, ix, ic = np.unravel_index(np.abs(g).argmax(), g.shape)
+    eps = 1e-2
+    ep = scene.env_map.at[iy, ix, ic].add(+eps)
+    em = scene.env_map.at[iy, ix, ic].add(-eps)
+    fd = (float(loss_of(ep)) - float(loss_of(em))) / (2 * eps)
+    np.testing.assert_allclose(g[iy, ix, ic], fd, rtol=0.05)
+
+
+def test_grad_camera_fd():
+    """Camera-basis gradients (differentiable camera claim, models/camera.py)
+    match finite differences through the brute traversal.
+
+    The view is entirely covered by a large sphere so the pixel radiance is a
+    SMOOTH function of the camera (no silhouettes): interior autodiff
+    gradients are exact there.  Visibility (edge) gradients are out of scope
+    -- silhouette pixels have a boundary term interior AD cannot see."""
+    mat = material_mod.single(base_color=(0.6, 0.4, 0.3), roughness=0.7, specular=0.0)
+    v, idx, n = make_sphere_mesh(np.zeros(3), 2.0)
+    cam = make_camera(CameraDesc((3, 0, 0), (0, 0, 0), (0, 1, 0), 45), (16, 16))
+    scene = scene_from_arrays(v, idx, mat, np.zeros(len(idx), np.int32), cam, normals=n)
+    import dataclasses
+
+    settings = dataclasses.replace(SETTINGS, environment_auto=True)
+    px = pixel_grid()
+    target = jnp.zeros((256, 3))
+
+    def loss_of(cam):
+        return diff_mod.camera_loss(scene, cam, settings, px, target, 4, None)
+
+    loss0, g = jax.value_and_grad(loss_of)(scene.camera)
+    gh = np.asarray(g.horizontal)
+    assert np.isfinite(gh).all() and np.abs(gh).max() > 0
+    eps = 1e-3
+    comp = int(np.abs(gh).argmax())
+    cp = scene.camera._replace(horizontal=scene.camera.horizontal.at[comp].add(+eps))
+    cm = scene.camera._replace(horizontal=scene.camera.horizontal.at[comp].add(-eps))
+    fd = (float(loss_of(cp)) - float(loss_of(cm))) / (2 * eps)
+    np.testing.assert_allclose(gh[comp], fd, rtol=0.08)
+
+
+def test_grad_materials_through_fused2():
+    """fused2 stop-gradients hit records; material gradients through it must
+    equal the brute-traversal gradients (hit geometry is parameter-free)."""
+    from owl_path_tracer_tpu.ops.fused2 import build_fused2
+
+    scene = diffuse_sphere_scene()
+    accel = build_fused2(
+        np.asarray(scene.vertices), np.asarray(scene.tri_idx), cluster_size=64,
+        normals=np.asarray(scene.normals), texcoords=np.asarray(scene.texcoords),
+        tri_mat=np.asarray(scene.tri_mat),
+    )
+    px = pixel_grid()
+    target = jnp.zeros((256, 3))
+
+    # finite-difference self-consistency THROUGH the fused2 forward (its
+    # o+t*d hit positions make the forward differ from brute by rounding, so
+    # cross-traversal gradient comparison is only approximate; FD against the
+    # same forward is exact)
+    def loss_of(mats):
+        return diff_mod.image_loss(scene, mats, SETTINGS, px, target, 4, accel)
+
+    loss0, g = jax.value_and_grad(loss_of)(scene.materials)
+    g0 = np.asarray(g.base_color)[0, 0]
+    assert np.isfinite(g0) and abs(g0) > 0
+    eps = 1e-3
+    mp = scene.materials._replace(
+        base_color=scene.materials.base_color.at[0, 0].add(+eps))
+    mm = scene.materials._replace(
+        base_color=scene.materials.base_color.at[0, 0].add(-eps))
+    fd = (float(loss_of(mp)) - float(loss_of(mm))) / (2 * eps)
+    np.testing.assert_allclose(g0, fd, rtol=0.05)
+
+    # and it stays close to the brute-traversal gradient
+    _, g_br = diff_mod.loss_and_grad(
+        scene, scene.materials, SETTINGS, px, target, 4, None
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.base_color), np.asarray(g_br.base_color), rtol=0.05, atol=1e-6
+    )
+
+
+def test_car_recovery_smoke():
+    """BASELINE config 5 names mitsuba AND car: recover the car window-glass
+    base color (WindowGlassMat, specular_transmission=1) from a target render."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "assets"))
+    import generate
+
+    generate.ensure_assets()
+    from owl_path_tracer_tpu.models.scene import compile_scene
+    from owl_path_tracer_tpu.render import film as film_mod
+
+    scene = compile_scene(
+        pathlib.Path(__file__).resolve().parents[1] / "assets", "car", (24, 24)
+    )
+    settings = RenderSettings(
+        width=24, height=24, max_samples=2, max_path_depth=3,
+        environment_auto=True, environment_intensity=1.0,
+    )
+    accel = film_mod.make_accel(scene, "cluster", cluster_size=128)
+    px_np = np.stack(np.meshgrid(np.arange(24, dtype=np.int32),
+                                 np.arange(24, dtype=np.int32)), -1).reshape(-1, 2)
+    px = jnp.asarray(px_np)
+    target = diff_mod.render_with_materials(
+        scene, scene.materials, settings, px, 2, accel
+    )
+    # perturb the glass color and recover it
+    mats = scene.materials
+    names = [  # WindowGlassMat index via the parsed material order
+        i for i in range(mats.count)
+        if float(mats.specular_transmission[i]) >= 0.99
+    ]
+    assert names, "car scene must contain a glass material"
+    gi = names[0]
+    init = mats._replace(base_color=mats.base_color.at[gi].set(jnp.asarray([0.2, 0.2, 0.2])))
+    # optimize ONLY the glass row (Adam's unit-scale steps would otherwise
+    # push every material's color around on gradient noise)
+    from owl_path_tracer_tpu.models.material import Materials
+
+    mask = Materials(*[jnp.zeros_like(getattr(mats, f)) for f in Materials._fields])
+    mask = mask._replace(base_color=mask.base_color.at[gi].set(1.0))
+    res = diff_mod.recover_materials(
+        scene, settings, target, px, init, steps=10, lr=0.08, num_samples=2,
+        accel=accel, trainable=("base_color",), grad_mask=mask,
+    )
+    assert res.losses[-1] < res.losses[0] * 0.7, res.losses

@@ -226,7 +226,7 @@ if stage == "pdecomp":
 
     import os
     f_full = jax.jit(lambda o, d: jnp.sum(cl.cluster_closest_hit(o, d, cb).t))
-    timeit(f"full closest (overflow={cl.EXACT_OVERFLOW})", lambda: float(f_full(o_s, d_s)))
+    timeit(f"full closest (overflow={cl.DEFAULT_EXACT_OVERFLOW})", lambda: float(f_full(o_s, d_s)))
     print("OK", flush=True)
 
 if stage == "kc":

@@ -122,7 +122,8 @@ def stage_phaseb():
     from owl_path_tracer_tpu.ops import cluster as cl
     from owl_path_tracer_tpu.models.scene import compile_scene
 
-    print("PHASE_B =", cl.PHASE_B, flush=True)
+    import os
+    print("PHASE_B =", os.environ.get("OWLPT_PHASE_B", cl.DEFAULT_PHASE_B), flush=True)
     scene = compile_scene("assets", "dragon", (512, 512))
     cb = cl.build_clusters(np.asarray(scene.vertices), np.asarray(scene.tri_idx), cluster_size=128)
     N = 65536
@@ -245,7 +246,7 @@ def stage_parts():
     timeit("full loop, one-hot select", lambda: float(f_mt_onehot(o, d)))
 
     f_full = jax.jit(lambda o, d: jnp.sum(cl.cluster_closest_hit(o, d, cb).t))
-    timeit("full current (overflow=%s)" % cl.EXACT_OVERFLOW, lambda: float(f_full(o, d)))
+    timeit("full current (overflow=%s)" % cl.DEFAULT_EXACT_OVERFLOW, lambda: float(f_full(o, d)))
 
 
 if __name__ == "__main__":

@@ -197,15 +197,63 @@ def probe_wavestep(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["traverse", "sweep", "sort", "wavestep"])
+    ap.add_argument("cmd", choices=["traverse", "traverse8", "sweep", "sort", "wavestep"])
     ap.add_argument("--sub", type=int, default=7)
     ap.add_argument("--c", type=int, default=512)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--n", type=int, default=131072)
     ap.add_argument("--max-steps", type=int, default=256)
     args = ap.parse_args()
-    dict(traverse=probe_traverse, sweep=probe_sweep, sort=probe_sort,
-         wavestep=probe_wavestep)[args.cmd](args)
+    dict(traverse=probe_traverse, traverse8=probe_traverse8, sweep=probe_sweep,
+         sort=probe_sort, wavestep=probe_wavestep)[args.cmd](args)
+
+
+
+
+def probe_traverse8(args):
+    """8 chained traversals in ONE jit call: separates the ~33 ms relay
+    dispatch floor from true on-device kernel time."""
+    import jax
+    import jax.numpy as jnp
+
+    from owl_path_tracer_tpu.ops import fused2 as f2
+
+    scene, settings = load(args.sub)
+    fb = f2.build_fused2_scene(scene, cluster_size=args.c)
+    for kind in ("primary", "bounce"):
+        o, d = make_rays(scene, args.n, kind)
+
+        @jax.jit
+        def run8(o, d):
+            def body(carry, _):
+                o, d = carry
+                out = f2.fused2_traverse(
+                    o, d, jnp.full((args.n,), 1e10, jnp.float32), fb,
+                    block=args.block, max_steps=args.max_steps)
+                s = jnp.sum(out[:, 0]) * 0.0  # data dependency, value-neutral
+                return (o + s, d), None
+
+            (o, d), _ = jax.lax.scan(body, (o, d), None, length=8)
+            return o
+
+        @jax.jit
+        def run1(o, d):
+            out = f2.fused2_traverse(
+                o, d, jnp.full((args.n,), 1e10, jnp.float32), fb,
+                block=args.block, max_steps=args.max_steps)
+            return o + jnp.sum(out[:, 0]) * 0.0
+
+        sync(run8(o, d)); sync(run1(o, d))
+        dt8 = timeit(lambda: sync(run8(o, d)))
+        dt1 = timeit(lambda: sync(run1(o, d)))
+        per_wave = (dt8 - dt1) / 7.0
+        print(json.dumps({
+            "probe": "traverse8", "kind": kind, "c": args.c, "block": args.block,
+            "k": fb.num_clusters,
+            "ms_1call": round(dt1 * 1e3, 2), "ms_8call": round(dt8 * 1e3, 2),
+            "ms_per_wave": round(per_wave * 1e3, 2),
+            "mrays_device": round(args.n / per_wave / 1e6, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":
