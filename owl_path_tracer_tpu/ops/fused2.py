@@ -59,7 +59,12 @@ ATTR_ROWS = 16
 
 class Fused2BVH(NamedTuple):
     boxes: jnp.ndarray  # [8,K]: rows 0-2 cmin.xyz, 3-5 cmax.xyz (VMEM-resident)
-    planes: jnp.ndarray  # [K,16,C]: rows p0(3) e1(3) e2(3) tid(1) pad(6)
+    # component layout [K,16,C]: rows p0(3) e1(3) e2(3) tid(1) pad(6), or
+    # MXU layout [K,16,4C]: per-triangle FEATURE matrix F such that
+    # [d, oxd, o, 1] @ F = [det | u*det | v*det | t*det] column groups
+    # (Moller-Trumbore as ONE matmul; tid stored in row 10 of group 0, which
+    # multiplies a zero ray-feature row)
+    planes: jnp.ndarray
     attrs: jnp.ndarray  # [K,16,C]: shading payload planes (layout above)
     attr_table: jnp.ndarray  # [T,16] same payload by tri id (fallback/grad path)
     bounds: jnp.ndarray  # [2,3] scene AABB (ray-sort key quantization)
@@ -71,7 +76,48 @@ class Fused2BVH(NamedTuple):
 
     @property
     def cluster_size(self) -> int:
-        return self.planes.shape[2]
+        return self.attrs.shape[2]
+
+    @property
+    def mxu(self) -> bool:
+        return self.planes.shape[2] == 4 * self.attrs.shape[2]
+
+
+def _mxu_features(tri_planes: np.ndarray, tid: np.ndarray) -> np.ndarray:
+    """Per-triangle Moller-Trumbore FEATURE matrix for the MXU path.
+
+    With ray features R = [d(3), m=oxd(3), o(3), 1, 0...] ([B,16]) and per-
+    triangle columns F ([16, 4C], groups [det | u*det | v*det | t*det]):
+
+        R @ F = [d.(e2xe1) | e2.m - (e2xp0).d | -e1.m - (p0xe1).d | n.o - n.p0]
+
+    which are exactly MT's det, u*det, v*det, t*det (scalar-triple-product
+    rotations of ops/intersect.py mt_components).  The whole [B,C] triangle
+    test becomes ONE [B,16]x[16,4C] f32 matmul on the (otherwise idle) MXU;
+    only sign tests and the winner reduction stay on the VPU.
+
+    tid is stashed in row 10 of the det group -- the matmul ignores it
+    because ray-feature row 10 is zero.
+    """
+    kk, _, c = tri_planes.shape
+    p0 = tri_planes[:, 0:3].transpose(0, 2, 1)  # [K,C,3]
+    e1 = tri_planes[:, 3:6].transpose(0, 2, 1)
+    e2 = tri_planes[:, 6:9].transpose(0, 2, 1)
+    n = np.cross(e1, e2)
+    f = np.zeros((kk, 16, 4 * c), np.float32)
+    # group 0: det = d.(e2 x e1)
+    f[:, 0:3, 0:c] = np.cross(e2, e1).transpose(0, 2, 1)
+    f[:, 10, 0:c] = tid
+    # group 1: u*det = e2.m - (e2 x p0).d
+    f[:, 0:3, c : 2 * c] = -np.cross(e2, p0).transpose(0, 2, 1)
+    f[:, 3:6, c : 2 * c] = e2.transpose(0, 2, 1)
+    # group 2: v*det = -e1.m - (p0 x e1).d
+    f[:, 0:3, 2 * c : 3 * c] = -np.cross(p0, e1).transpose(0, 2, 1)
+    f[:, 3:6, 2 * c : 3 * c] = -e1.transpose(0, 2, 1)
+    # group 3: t*det = n.o - n.p0
+    f[:, 6:9, 3 * c : 4 * c] = n.transpose(0, 2, 1)
+    f[:, 9, 3 * c : 4 * c] = -np.einsum("kcx,kcx->kc", n, p0)
+    return f
 
 
 def build_fused2(
@@ -81,6 +127,7 @@ def build_fused2(
     normals: np.ndarray | None = None,
     texcoords: np.ndarray | None = None,
     tri_mat: np.ndarray | None = None,
+    mxu: bool = True,
 ) -> Fused2BVH:
     """SAH-leaf clusters + plane re-layout + shading-attribute planes."""
     vertices = np.asarray(vertices, np.float32)
@@ -92,11 +139,14 @@ def build_fused2(
     boxes[0:3] = np.asarray(cb.cmin).T
     boxes[3:6] = np.asarray(cb.cmax).T
 
-    planes = np.zeros((k, 16, c), np.float32)
-    planes[:, 0:9] = np.asarray(cb.tri_planes)
     tid = np.asarray(cb.tri_id)  # [K,C], -1 = padding
     assert tid.max() < (1 << 24), "tri ids exceed exact f32 range"
-    planes[:, 9] = tid.astype(np.float32)
+    if mxu:
+        planes = _mxu_features(np.asarray(cb.tri_planes), tid.astype(np.float32))
+    else:
+        planes = np.zeros((k, 16, c), np.float32)
+        planes[:, 0:9] = np.asarray(cb.tri_planes)
+        planes[:, 9] = tid.astype(np.float32)
 
     # per-slot shading payload (zeros when the caller has no attributes,
     # e.g. geometry-only tests)
@@ -129,7 +179,7 @@ def build_fused2(
     )
 
 
-def build_fused2_scene(scene, cluster_size: int = 512) -> Fused2BVH:
+def build_fused2_scene(scene, cluster_size: int = 512, mxu: bool = True) -> Fused2BVH:
     """Build from a compiled Scene (models/scene.py) including shading attrs."""
     return build_fused2(
         np.asarray(scene.vertices),
@@ -138,6 +188,7 @@ def build_fused2_scene(scene, cluster_size: int = 512) -> Fused2BVH:
         normals=np.asarray(scene.normals),
         texcoords=np.asarray(scene.texcoords),
         tri_mat=np.asarray(scene.tri_mat),
+        mxu=mxu,
     )
 
 
@@ -172,13 +223,25 @@ def _pick_next(ent, prune_t, k, col_k):
     return jnp.min(jnp.where(active, cid, k))  # scalar
 
 
-def _kernel(b, k, c, max_steps, with_attrs, any_hit,
+def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
             rays_ref, boxes_ref, planes_ref, attrs_ref, out_ref,
             ent_ref, buf_ref, abuf_ref, best_ref, attr_ref, sem, asem, ctl_ref):
     rays = rays_ref[0]  # [B,8]
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     tmax = rays[:, 6:7]
+
+    if mxu:
+        # ray feature rows [B,16]: d, m = o x d, o, 1 (rows 10+ zero so the
+        # tid storage row in the feature matrix drops out of the matmul)
+        mx = oy * dz - oz * dy
+        my = oz * dx - ox * dz
+        mz = ox * dy - oy * dx
+        rfeat = jnp.concatenate(
+            [dx, dy, dz, mx, my, mz, ox, oy, oz,
+             jnp.ones((b, 1), jnp.float32), jnp.zeros((b, 6), jnp.float32)],
+            axis=1,
+        )  # [B,16]
 
     def inv(dc):
         return 1.0 / jnp.where(
@@ -278,15 +341,38 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit,
             pltpu.make_async_copy(
                 planes_ref.at[c_cur], buf_ref.at[slot], sem.at[slot]
             ).wait()
-            pb = buf_ref[slot]  # [16,C]
-            tid = pb[9:10, :]
-            t, u, v, ok = mt_components(
-                (ox, oy, oz), (dx, dy, dz),
-                (pb[0:1, :], pb[1:2, :], pb[2:3, :]),
-                (pb[3:4, :], pb[4:5, :], pb[5:6, :]),
-                (pb[6:7, :], pb[7:8, :], pb[8:9, :]),
-                t_min, best_ref[:, 0:1],
-            )
+            if mxu:
+                pb = buf_ref[slot]  # [16,4C] feature matrix
+                tid = pb[10:11, 0:c]
+                out4 = jnp.dot(rfeat, pb, preferred_element_type=jnp.float32)
+                det = out4[:, 0:c]
+                sgn = jnp.where(det < 0.0, -1.0, 1.0)
+                dd = det * sgn  # |det|
+                ua = out4[:, c : 2 * c] * sgn  # u*|det|
+                vb = out4[:, 2 * c : 3 * c] * sgn  # v*|det|
+                tcd = out4[:, 3 * c : 4 * c] * sgn  # t*|det|
+                ok = (
+                    (dd >= 1e-12)
+                    & (ua >= 0.0)
+                    & (vb >= 0.0)
+                    & (ua + vb <= dd)
+                    & (tcd > dd * t_min)
+                    & (tcd < dd * best_ref[:, 0:1])
+                )
+                dd_safe = jnp.where(dd < 1e-12, 1.0, dd)
+                t = tcd / dd_safe
+                u = ua / dd_safe
+                v = vb / dd_safe
+            else:
+                pb = buf_ref[slot]  # [16,C]
+                tid = pb[9:10, :]
+                t, u, v, ok = mt_components(
+                    (ox, oy, oz), (dx, dy, dz),
+                    (pb[0:1, :], pb[1:2, :], pb[2:3, :]),
+                    (pb[3:4, :], pb[4:5, :], pb[5:6, :]),
+                    (pb[6:7, :], pb[7:8, :], pb[8:9, :]),
+                    t_min, best_ref[:, 0:1],
+                )
             ok &= mine & (tid >= 0.0)
 
             if any_hit:
@@ -407,6 +493,7 @@ def fused2_traverse(
     _ensure_pallas()
     if interpret is None:
         interpret = _default_interpret()
+    mxu = fb.mxu
     # traversal is not differentiable (Pallas kernel); hit records are
     # parameter-independent for material/env gradients, so detach rays and
     # results -- camera/geometry gradients need the cluster/brute traversal
@@ -426,7 +513,7 @@ def fused2_traverse(
     ).reshape(g, block, 8)
 
     out = pl.pallas_call(
-        partial(_kernel, block, k, c, max_steps, with_attrs, any_hit),
+        partial(_kernel, block, k, c, max_steps, with_attrs, any_hit, mxu),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, block, 8), lambda i: (i, 0, 0)),
@@ -438,7 +525,7 @@ def fused2_traverse(
         out_shape=jax.ShapeDtypeStruct((g, block, 32), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block, k), jnp.float32),
-            pltpu.VMEM((2, 16, c), jnp.float32),
+            pltpu.VMEM((2, 16, 4 * c if mxu else c), jnp.float32),
             pltpu.VMEM((16, c), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
@@ -499,16 +586,20 @@ def _pad_rays(ray_o, ray_d, t_max, block):
 def fused2_closest_hit(
     ray_o, ray_d, fb: Fused2BVH,
     t_min: float = m.T_MIN, t_max=m.T_MAX,
-    sort: bool = True, interpret: bool | None = None,
+    sort: bool = False, interpret: bool | None = None,
     block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
     with_attrs: bool = True,
 ):
     """Exact closest hit + shading payload.
 
-    Returns (HitRecord, attr_blob [N,16]).  Rays are stably sorted by a
-    spatial-directional coherence key before the kernel and unsorted after;
-    the rare unresolved ray (kernel step overflow) falls back to the exact
-    XLA cluster intersector + an attr-table gather.
+    Returns (HitRecord, attr_blob [N,16]).  ``sort=True`` stably sorts rays
+    by a spatial-directional coherence key before the kernel and unsorts
+    after -- measured WORTH IT only for externally shuffled rays; the
+    renderer's pool order (pixel-major work ids) is already block-coherent
+    and the argsort+gathers cost ~3 ms/wave, so the default is off
+    (docs/PERF.md round-2 probes).  The rare unresolved ray (kernel step
+    overflow) falls back to the exact XLA cluster intersector + an
+    attr-table gather.
     """
     n0 = ray_o.shape[0]
     ray_o_p, ray_d_p, t_max_p, _ = _pad_rays(ray_o, ray_d, t_max, block)
@@ -564,7 +655,7 @@ def fused2_closest_hit(
 @partial(jax.jit, static_argnames=("sort", "interpret", "block", "max_steps"))
 def fused2_occluded(
     ray_o, ray_d, fb: Fused2BVH, t_min: float = m.T_MIN, t_max=m.T_MAX,
-    sort: bool = True, interpret: bool | None = None,
+    sort: bool = False, interpret: bool | None = None,
     block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
 ):
     """True any-hit occlusion: first valid hit retires the ray

@@ -27,7 +27,7 @@ def setup():
     tri_mat = r.integers(0, 5, len(idx)).astype(np.int32)
     fb = f2.build_fused2(
         verts, idx, cluster_size=64,
-        normals=normals, texcoords=texcoords, tri_mat=tri_mat,
+        normals=normals, texcoords=texcoords, tri_mat=tri_mat, mxu=False,
     )
     n = 512
     o = jnp.asarray(r.uniform(-6, 6, (n, 3)).astype(np.float32))
@@ -99,7 +99,7 @@ def test_per_ray_tmax(setup):
 def test_small_scene_and_padding():
     # fewer tris than one cluster + ray count not a block multiple
     verts, idx, r = _soup(n_tris=10, seed=3)
-    fb = f2.build_fused2(verts, idx, cluster_size=64)
+    fb = f2.build_fused2(verts, idx, cluster_size=64, mxu=False)
     n = 37
     o = jnp.asarray(r.uniform(-6, 6, (n, 3)).astype(np.float32))
     d = r.normal(size=(n, 3)).astype(np.float32)
@@ -119,3 +119,22 @@ def test_overflow_fallback_is_exact(setup):
     hit = np.asarray(rec.tri) >= 0
     want = np.asarray(fb.attr_table)[np.asarray(rec.tri)[hit]]
     np.testing.assert_array_equal(np.asarray(blob)[hit], want)
+
+
+def test_mxu_variant_matches_component(setup):
+    """MXU Moller-Trumbore (one [B,16]x[16,4C] matmul) agrees with the
+    component-form kernel: identical winner triangles (up to rounding at
+    shared edges) and t within 1e-5 relative."""
+    fb, verts, idx, o, d, r = setup  # component layout (mxu=False in setup)
+    fbm = f2.build_fused2(verts, idx, cluster_size=64, mxu=True)
+    a, _ = f2.fused2_closest_hit(o, d, fb, interpret=True)
+    b, _ = f2.fused2_closest_hit(o, d, fbm, interpret=True)
+    same_tri = np.asarray(a.tri) == np.asarray(b.tri)
+    assert same_tri.mean() > 0.995, same_tri.mean()
+    hit = (np.asarray(a.tri) >= 0) & same_tri
+    np.testing.assert_allclose(
+        np.asarray(b.t)[hit], np.asarray(a.t)[hit], rtol=1e-5, atol=1e-6
+    )
+    occ_a = f2.fused2_occluded(o, d, fb, interpret=True)
+    occ_b = f2.fused2_occluded(o, d, fbm, interpret=True)
+    assert (np.asarray(occ_a) == np.asarray(occ_b)).mean() > 0.995

@@ -112,6 +112,31 @@ def probe_traverse(args):
             }), flush=True)
 
 
+def _chained_wave_ms(fn_wave, o, d, reps=6):
+    """Device-side per-wave ms: (time of `reps` chained waves - 1 wave)/(reps-1)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(length):
+        @jax.jit
+        def run(o, d):
+            def body(carry, _):
+                o, d = carry
+                s = fn_wave(o, d)
+                return (o + s * 0.0, d), None
+
+            (o2, _), _ = jax.lax.scan(body, (o, d), None, length=length)
+            return o2
+
+        return run
+
+    r1, rN = chained(1), chained(reps)
+    sync(r1(o, d)); sync(rN(o, d))
+    dt1 = timeit(lambda: sync(r1(o, d)))
+    dtN = timeit(lambda: sync(rN(o, d)))
+    return (dtN - dt1) / (reps - 1) * 1e3
+
+
 def probe_sweep(args):
     import jax.numpy as jnp
 
@@ -122,16 +147,21 @@ def probe_sweep(args):
     o_b, d_b = make_rays(scene, args.n, "bounce")
     for c in (256, 512, 1024):
         fb = f2.build_fused2_scene(scene, cluster_size=c)
-        for block in (128, 256):
+        for block in (128, 256, 512):
             for kind, (o, d) in (("primary", (o_p, d_p)), ("bounce", (o_b, d_b))):
-                f2.fused2_closest_hit(o, d, fb, block=block)[0].t.block_until_ready()
-                sync(f2.fused2_closest_hit(o, d, fb, block=block)[0].t)
-                dt = timeit(lambda: sync(f2.fused2_closest_hit(o, d, fb, block=block)[0].t))
-                print(json.dumps({
-                    "probe": "sweep", "c": c, "block": block, "kind": kind,
-                    "k": fb.num_clusters,
-                    "ms": round(dt * 1e3, 2), "mrays": round(args.n / dt / 1e6, 2),
-                }), flush=True)
+                for sort in ((False,) if kind == "primary" else (False, True)):
+                    def wave(o, d, _fb=fb, _block=block, _sort=sort):
+                        rec, _ = f2.fused2_closest_hit(
+                            o, d, _fb, block=_block, sort=_sort)
+                        return jnp.sum(rec.t)
+
+                    ms = _chained_wave_ms(wave, o, d)
+                    print(json.dumps({
+                        "probe": "sweep", "c": c, "block": block, "kind": kind,
+                        "sort": sort, "k": fb.num_clusters,
+                        "ms_per_wave": round(ms, 2),
+                        "mrays_device": round(args.n / ms / 1e3, 2),
+                    }), flush=True)
 
 
 def probe_sort(args):
@@ -156,48 +186,68 @@ def probe_sort(args):
 
 
 def probe_wavestep(args):
+    """Steady-state wavefront step decomposition: full step vs sort on/off vs
+    a null intersector (isolates shade+regen+film-scatter cost)."""
     import jax.numpy as jnp
 
     from owl_path_tracer_tpu.ops import fused2 as f2
+    from owl_path_tracer_tpu.ops.intersect import HitRecord
+    from owl_path_tracer_tpu.render import integrator as integ
     from owl_path_tracer_tpu.render import wavefront as wf
-    from owl_path_tracer_tpu.render.film import scene_has_textures
 
     scene, settings = load(args.sub)
     fb = f2.build_fused2_scene(scene, cluster_size=args.c)
     lanes = args.n
     total = settings.width * settings.height * settings.max_samples
     st = wf.new_pool(settings, lanes)
-    # advance a few chunks so the pool is in steady state (mixed depths)
     for _ in range(2):
         st, _ = wf._run_chunk(scene, settings, st, fb, False, jnp.int32(total), 8, None, None)
     sync(st.acc)
     iters = 8
 
-    def run():
-        s2, _ = wf._run_chunk(scene, settings, st, fb, False, jnp.int32(total), iters, None, None)
-        sync(s2.acc)
+    import jax
+    from functools import partial
 
-    run()
-    dt = timeit(run)
-    rays0 = int(st.rays)
-    s2, _ = wf._run_chunk(scene, settings, st, fb, False, jnp.int32(total), iters, None, None)
-    rays = int(s2.rays) - rays0
-    # pure traversal on the same pool rays
-    o, d = st.ray_o, st.ray_d
-    sync(f2.fused2_closest_hit(o, d, fb)[0].t)
-    dt_trav = timeit(lambda: sync(f2.fused2_closest_hit(o, d, fb)[0].t))
-    print(json.dumps({
-        "probe": "wavestep", "c": args.c, "lanes": lanes, "iters": iters,
-        "step_ms": round(dt / iters * 1e3, 2),
-        "mrays_render": round(rays / dt / 1e6, 2),
-        "traversal_ms_per_wave": round(dt_trav * 1e3, 2),
-        "traversal_share": round(dt_trav / (dt / iters), 3),
-    }), flush=True)
+    def make_chunk(intersect_fn):
+        @jax.jit
+        def run_chunk(st):
+            def body(st, _):
+                return wf.wavefront_step(
+                    scene, settings, st, intersect_fn, False, jnp.int32(total),
+                ), None
+
+            st, _ = jax.lax.scan(body, st, None, length=iters)
+            return st
+
+        return run_chunk
+
+    variants = {
+        "sorted": lambda o, d: f2.fused2_closest_hit(o, d, fb, sort=True),
+        "unsorted": lambda o, d: f2.fused2_closest_hit(o, d, fb, sort=False),
+        "null": lambda o, d: (
+            HitRecord(
+                t=jnp.full(o.shape[:1], 2.0), tri=jnp.zeros(o.shape[:1], jnp.int32),
+                uv=jnp.full(o.shape[:1] + (2,), 0.3),
+            ),
+            jnp.broadcast_to(fb.attr_table[0], o.shape[:1] + (16,)),
+        ),
+    }
+    for name, isect in variants.items():
+        run = make_chunk(isect)
+        sync(run(st).acc)
+        dt = timeit(lambda: sync(run(st).acc))
+        s2 = run(st)
+        rays = int(s2.rays) - int(st.rays)
+        print(json.dumps({
+            "probe": "wavestep", "variant": name, "c": args.c, "lanes": lanes,
+            "step_ms": round(dt / iters * 1e3, 2),
+            "mrays_render": round(rays / dt / 1e6, 2),
+        }), flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["traverse", "traverse8", "sweep", "sort", "wavestep"])
+    ap.add_argument("cmd", choices=["traverse", "traverse8", "sweep", "sort", "wavestep", "xla"])
     ap.add_argument("--sub", type=int, default=7)
     ap.add_argument("--c", type=int, default=512)
     ap.add_argument("--block", type=int, default=128)
@@ -205,7 +255,7 @@ def main():
     ap.add_argument("--max-steps", type=int, default=256)
     args = ap.parse_args()
     dict(traverse=probe_traverse, traverse8=probe_traverse8, sweep=probe_sweep,
-         sort=probe_sort, wavestep=probe_wavestep)[args.cmd](args)
+         sort=probe_sort, wavestep=probe_wavestep, xla=probe_xla)[args.cmd](args)
 
 
 
@@ -254,6 +304,86 @@ def probe_traverse8(args):
             "ms_per_wave": round(per_wave * 1e3, 2),
             "mrays_device": round(args.n / per_wave / 1e6, 2),
         }), flush=True)
+
+
+
+
+def probe_xla(args):
+    """Micro-costs of the non-traversal step ops (film scatter, disney sample,
+    spawn, cumsum) at wave size n."""
+    import jax
+    import jax.numpy as jnp
+
+    from owl_path_tracer_tpu.models.camera import primary_rays
+    from owl_path_tracer_tpu.ops import disney
+    from owl_path_tracer_tpu.ops import rng as rng_mod
+
+    scene, settings = load(args.sub)
+    n = args.n
+    r = np.random.default_rng(0)
+    pixel = jnp.asarray(r.integers(0, 1024 * 1024, n).astype(np.int32))
+    res = jnp.asarray(r.uniform(0, 1, (n, 3)).astype(np.float32))
+    acc0 = jnp.zeros((1024 * 1024, 3), jnp.float32)
+
+    def rep(fn, *xs):
+        def chained(length):
+            @jax.jit
+            def run(*xs):
+                def body(c, _):
+                    out = fn(*c)
+                    bump = 0.0 * jnp.sum(out)
+                    return tuple(
+                        x + bump.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+                        for x in c
+                    ), None
+
+                c, _ = jax.lax.scan(body, xs, None, length=length)
+                return c[0]
+
+            return run
+
+        r1, r8 = chained(1), chained(8)
+        sync(r1(*xs)); sync(r8(*xs))
+        d1 = timeit(lambda: sync(r1(*xs)))
+        d8 = timeit(lambda: sync(r8(*xs)))
+        return (d8 - d1) / 7 * 1e3
+
+    ms = rep(lambda acc, px, res: acc.at[px].add(res), acc0, pixel, res)
+    print(json.dumps({"probe": "xla", "op": "film_scatter_add", "ms": round(ms, 2)}), flush=True)
+
+    st0 = jnp.asarray(r.integers(0, 2**31, n).astype(np.uint32))
+    from owl_path_tracer_tpu.models.material import Materials
+
+    mats = jax.tree.map(lambda x: jnp.broadcast_to(x[0], (n,) + x.shape[1:]), scene.materials)
+    wo = jnp.asarray(r.normal(size=(n, 3)).astype(np.float32))
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    lobe = jnp.zeros((n,), jnp.int32)
+
+    ms = rep(lambda wo, st: disney.sample(mats, wo, st, lobe).f, wo, st0)
+    print(json.dumps({"probe": "xla", "op": "disney_sample", "ms": round(ms, 2)}), flush=True)
+
+    ids = jnp.asarray(np.arange(n, dtype=np.int32))
+
+    def spawn(ids, st):
+        spp = 64
+        px = (ids // spp) % 1024
+        py = (ids // spp) // 1024
+        s = rng_mod.seed(ids.astype(jnp.uint32), (ids % spp).astype(jnp.uint32))
+        j0, s = rng_mod.next_f32(s)
+        j1, s = rng_mod.next_f32(s)
+        o, d = primary_rays(scene.camera, jnp.stack([px, py], -1), jnp.stack([j0, j1], -1), (1024, 1024))
+        return o + d
+
+    ms = rep(spawn, ids, st0)
+    print(json.dumps({"probe": "xla", "op": "spawn", "ms": round(ms, 2)}), flush=True)
+
+    alive = jnp.asarray(r.integers(0, 2, n).astype(bool))
+    ms = rep(lambda a: jnp.cumsum(a.astype(jnp.int32)), alive)
+    print(json.dumps({"probe": "xla", "op": "cumsum", "ms": round(ms, 2)}), flush=True)
+
+    keys = jnp.asarray(r.integers(0, 2**20, n).astype(np.int32))
+    ms = rep(lambda k: jnp.argsort(k, stable=True), keys)
+    print(json.dumps({"probe": "xla", "op": "argsort", "ms": round(ms, 2)}), flush=True)
 
 
 if __name__ == "__main__":
