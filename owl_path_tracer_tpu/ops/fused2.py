@@ -44,7 +44,10 @@ from .cluster import ClusterBVH, build_clusters, cluster_closest_hit
 from .intersect import HitRecord, mt_components
 
 BLOCK_RAYS = 128
-MAX_STEPS = 256
+# retirement-loop bound: a real while_loop exits as soon as a block is done,
+# so a generous bound costs nothing in the typical case and keeps pathological
+# (fully incoherent) blocks off the whole-wave exact-fallback path
+MAX_STEPS = 512
 
 # attr plane row layout (16 rows x C lanes per cluster)
 #   0:3 n0.xyz   3:6 n1.xyz   6:9 n2.xyz

@@ -225,7 +225,7 @@ def sharded_wavefront_chunk(
         pixel=P("px"), ray_o=P("px"), ray_d=P("px"), throughput=P("px"),
         result=P("px"), rng=P("px"), alive=P("px"), prev_lobe=P("px"),
         depth=P("px"), prev_pdf=P("px"), work_counter=P("px"), acc=P("px"),
-        rays=P("px"),
+        rays=P("px"), work_local=P("px"),
     )
     fn = jax.shard_map(
         shard_body,

@@ -43,9 +43,12 @@ class PoolState(NamedTuple):
     prev_lobe: jnp.ndarray
     depth: jnp.ndarray
     prev_pdf: jnp.ndarray  # MIS pdf of the spawning BSDF sample (NEE mode)
-    work_counter: jnp.ndarray  # scalar i32: next work item to hand out
-    acc: jnp.ndarray  # [W*H,3] film accumulator (scatter-add)
+    work_counter: jnp.ndarray  # scalar i32: next work item (global queue) or
+    #                            the pool's work base offset (strided mode)
+    acc: jnp.ndarray  # film accumulator: [W*H,3] scatter mode, or
+    #                   [L,P,3] per-lane pixel slots (strided mode, no scatter)
     rays: jnp.ndarray  # scalar i32 rays traced
+    work_local: jnp.ndarray  # [L] i32 per-lane work cursor (strided mode)
 
 
 def _spawn(scene, settings, lane_work_id, total_work):
@@ -80,7 +83,20 @@ def wavefront_step(
     occlude_fn: Callable | None = None,
     env_light=None,
 ) -> PoolState:
-    """One bounce for every lane + regeneration of finished lanes."""
+    """One bounce for every lane + regeneration of finished lanes.
+
+    Two work-assignment modes, selected by the film layout (st.acc.ndim):
+
+    * **global queue** (acc [W*H,3]): idle lanes take the next ids from a
+      shared counter; finished paths scatter-add into the film.  Fully
+      load-balanced, but the 131k-index scatter costs ~5.5 ms/wave on this
+      hardware (docs/PERF.md round-2 probes).
+    * **strided slices** (acc [L,P,3]): lane l owns work items
+      [base + l*S, base + (l+1)*S) (S = P*spp, pixel-aligned), accumulating
+      into its own P pixel slots via a one-hot -- NO scatter anywhere.
+      Work imbalance averages out over the S items per lane.
+    """
+    strided = st.acc.ndim == 3
     # --- trace one bounce (parity kernel, or NEE/MIS when lights given) ---
     ps = integrator.PathState(
         ray_o=st.ray_o,
@@ -111,16 +127,38 @@ def wavefront_step(
     exhausted = ps.alive & (ps.depth >= settings.max_path_depth)
     path_done = st.alive & (~ps.alive | exhausted)
 
-    # --- bank finished paths into the film ---
-    acc = st.acc.at[st.pixel].add(jnp.where(path_done[:, None], ps.result, 0.0))
-
-    # --- regenerate finished lanes on fresh work items ---
+    lanes = st.pixel.shape[0]
     idle = path_done | ~st.alive
-    order = jnp.cumsum(idle.astype(jnp.int32)) - 1  # rank among idle lanes
-    new_ids = st.work_counter + order
-    can_spawn = idle & (new_ids < total_work)
-    handed_out = jnp.minimum(jnp.sum(idle.astype(jnp.int32)),
-                             jnp.maximum(total_work - st.work_counter, 0))
+    if strided:
+        # --- bank into per-lane pixel slots (one-hot, scatter-free) ---
+        p_slots = st.acc.shape[1]
+        slice_items = p_slots * settings.max_samples
+        lane_idx = jnp.arange(lanes, dtype=jnp.int32)
+        lane_first_pixel = (st.work_counter + lane_idx * slice_items) // settings.max_samples
+        slot = st.pixel - lane_first_pixel  # [L] in [0,P)
+        onehot = (
+            jnp.arange(p_slots, dtype=jnp.int32)[None, :] == slot[:, None]
+        )  # [L,P]
+        contrib = jnp.where(path_done[:, None], ps.result, 0.0)  # [L,3]
+        acc = st.acc + onehot[:, :, None] * contrib[:, None, :]
+
+        # --- regenerate: each lane walks its own slice ---
+        new_ids = st.work_counter + lane_idx * slice_items + st.work_local
+        can_spawn = idle & (st.work_local < slice_items)
+        work_local = jnp.where(can_spawn, st.work_local + 1, st.work_local)
+        work_counter = st.work_counter
+    else:
+        # --- bank finished paths into the film ---
+        acc = st.acc.at[st.pixel].add(jnp.where(path_done[:, None], ps.result, 0.0))
+
+        # --- regenerate finished lanes on fresh work items ---
+        order = jnp.cumsum(idle.astype(jnp.int32)) - 1  # rank among idle lanes
+        new_ids = st.work_counter + order
+        can_spawn = idle & (new_ids < total_work)
+        handed_out = jnp.minimum(jnp.sum(idle.astype(jnp.int32)),
+                                 jnp.maximum(total_work - st.work_counter, 0))
+        work_counter = st.work_counter + handed_out
+        work_local = st.work_local
 
     pixel_s, o_s, d_s, rng_s = _spawn(
         scene, settings, jnp.maximum(new_ids, 0), total_work
@@ -144,9 +182,10 @@ def wavefront_step(
         prev_lobe=sel(jnp.full_like(st.prev_lobe, disney.LOBE_NONE), ps.prev_lobe),
         depth=sel(jnp.zeros_like(st.depth), ps.depth),
         prev_pdf=sel(jnp.zeros_like(st.prev_pdf), ps.prev_pdf),
-        work_counter=st.work_counter + handed_out,
+        work_counter=work_counter,
         acc=acc,
         rays=rays,
+        work_local=work_local,
     )
 
 
@@ -164,10 +203,12 @@ def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, ligh
 
     st, _ = jax.lax.scan(body, st, None, length=iters)
     # one tiny i32 vector for the host loop-exit test: a single relay readback
-    status = jnp.stack(
-        [(st.work_counter >= work_hi).astype(jnp.int32),
-         jnp.any(st.alive).astype(jnp.int32)]
-    )
+    if st.acc.ndim == 3:  # strided slices: every lane exhausted its slice
+        slice_items = st.acc.shape[1] * settings.max_samples
+        work_done = (jnp.min(st.work_local) >= slice_items).astype(jnp.int32)
+    else:
+        work_done = (st.work_counter >= work_hi).astype(jnp.int32)
+    status = jnp.stack([work_done, jnp.any(st.alive).astype(jnp.int32)])
     return st, status
 
 
@@ -200,7 +241,11 @@ def render_image_wavefront(
                 np.asarray(scene.env_map), settings.environment_intensity
             )
 
-    st = new_pool(settings, lanes)
+    spp = settings.max_samples
+    strided_pixels = None
+    if total_work % lanes == 0 and (total_work // lanes) % spp == 0:
+        strided_pixels = total_work // lanes // spp  # P pixels per lane
+    st = new_pool(settings, lanes, strided_pixels=strided_pixels)
 
     for _ in range(max_launches):
         st, status = _run_chunk(
@@ -211,14 +256,21 @@ def render_image_wavefront(
         if status[0] and not status[1]:
             break
 
-    img = np.asarray(st.acc).reshape(settings.height, settings.width, 3)
+    acc = np.asarray(st.acc).reshape(settings.width * settings.height, 3)
+    img = acc.reshape(settings.height, settings.width, 3)
     img = img / settings.max_samples
     return img[::-1].copy(), int(st.rays)
 
 
-def new_pool(settings: RenderSettings, lanes: int, work_lo=0) -> PoolState:
+def new_pool(
+    settings: RenderSettings, lanes: int, work_lo=0,
+    strided_pixels: int | None = None,
+) -> PoolState:
     """Fresh all-idle pool; lanes spawn on the first step starting at
-    work item ``work_lo`` (per-shard offset under shard_map)."""
+    work item ``work_lo`` (per-shard offset under shard_map).
+
+    ``strided_pixels=P`` selects the scatter-free strided film: lane l owns
+    P consecutive pixels x spp work items; acc is [lanes, P, 3]."""
     return PoolState(
         pixel=jnp.zeros((lanes,), jnp.int32),
         ray_o=jnp.zeros((lanes, 3), jnp.float32),
@@ -231,6 +283,11 @@ def new_pool(settings: RenderSettings, lanes: int, work_lo=0) -> PoolState:
         depth=jnp.zeros((lanes,), jnp.int32),
         prev_pdf=jnp.zeros((lanes,), jnp.float32),
         work_counter=jnp.asarray(work_lo, jnp.int32),
-        acc=jnp.zeros((settings.width * settings.height, 3), jnp.float32),
+        acc=(
+            jnp.zeros((lanes, strided_pixels, 3), jnp.float32)
+            if strided_pixels
+            else jnp.zeros((settings.width * settings.height, 3), jnp.float32)
+        ),
         rays=jnp.int32(0),
+        work_local=jnp.zeros((lanes,), jnp.int32),
     )

@@ -63,3 +63,30 @@ def test_spawn_rng_streams_do_not_collide():
     v0, _ = rng_mod.next_f32(rng_mod.seed(jnp.uint32(7), jnp.uint32(0)))
     v1, _ = rng_mod.next_f32(rng_mod.seed(jnp.uint32(7), jnp.uint32(1)))
     assert float(v0) != float(v1)
+
+
+def test_strided_film_matches_global_queue():
+    """The scatter-free strided work assignment (acc [L,P,3]) must render the
+    same image as the global-queue mode: per-(pixel,sample) RNG streams are
+    work-id-determined, so only f32 film-summation order differs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
+    from test_integrator import make_sphere_mesh
+    from owl_path_tracer_tpu.models import material as material_mod
+    from owl_path_tracer_tpu.models.camera import make_camera
+    from owl_path_tracer_tpu.models.scene import RenderSettings, scene_from_arrays
+    from owl_path_tracer_tpu.utils.parser import CameraDesc
+
+    mat = material_mod.single(base_color=(0.7, 0.5, 0.3), roughness=0.8)
+    v, idx, n = make_sphere_mesh(np.zeros(3), 1.0)
+    cam = make_camera(CameraDesc((3, 0, 0), (0, 0, 0), (0, 1, 0), 45), (16, 16))
+    scene = scene_from_arrays(v, idx, mat, np.zeros(len(idx), np.int32), cam, normals=n)
+    s = RenderSettings(width=16, height=16, max_samples=4, max_path_depth=3,
+                       environment_color=(1, 0.9, 0.8), environment_intensity=1.0)
+    # lanes=256 divides 16*16*4=1024 work items -> strided (P=1); lanes=1000
+    # does not -> global queue
+    img_strided, rays_s = render_image_wavefront(scene, s, lanes=256, iters_per_launch=4)
+    img_queue, rays_q = render_image_wavefront(scene, s, lanes=1000, iters_per_launch=4)
+    np.testing.assert_allclose(img_strided, img_queue, rtol=1e-5, atol=1e-6)
+    assert rays_s == rays_q
