@@ -96,7 +96,7 @@ def wavefront_step(
       into its own P pixel slots via a one-hot -- NO scatter anywhere.
       Work imbalance averages out over the S items per lane.
     """
-    strided = st.acc.ndim == 3
+    strided = st.acc.ndim == 3  # acc [P,3,L] (lane-minor; see new_pool)
     # --- trace one bounce (parity kernel, or NEE/MIS when lights given) ---
     ps = integrator.PathState(
         ray_o=st.ray_o,
@@ -131,16 +131,18 @@ def wavefront_step(
     idle = path_done | ~st.alive
     if strided:
         # --- bank into per-lane pixel slots (one-hot, scatter-free) ---
-        p_slots = st.acc.shape[1]
+        # acc is [P, 3, L]: the LANE axis must be minor -- an [L,P,3] layout
+        # measured 88 ms/step of pure padding traffic (3-wide minor axis)
+        p_slots = st.acc.shape[0]
         slice_items = p_slots * settings.max_samples
         lane_idx = jnp.arange(lanes, dtype=jnp.int32)
         lane_first_pixel = (st.work_counter + lane_idx * slice_items) // settings.max_samples
         slot = st.pixel - lane_first_pixel  # [L] in [0,P)
         onehot = (
-            jnp.arange(p_slots, dtype=jnp.int32)[None, :] == slot[:, None]
-        )  # [L,P]
-        contrib = jnp.where(path_done[:, None], ps.result, 0.0)  # [L,3]
-        acc = st.acc + onehot[:, :, None] * contrib[:, None, :]
+            jnp.arange(p_slots, dtype=jnp.int32)[:, None] == slot[None, :]
+        )  # [P,L]
+        contrib = jnp.where(path_done[:, None], ps.result, 0.0).T  # [3,L]
+        acc = st.acc + jnp.where(onehot[:, None, :], contrib[None, :, :], 0.0)
 
         # --- regenerate: each lane walks its own slice ---
         new_ids = st.work_counter + lane_idx * slice_items + st.work_local
@@ -204,7 +206,7 @@ def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, ligh
     st, _ = jax.lax.scan(body, st, None, length=iters)
     # one tiny i32 vector for the host loop-exit test: a single relay readback
     if st.acc.ndim == 3:  # strided slices: every lane exhausted its slice
-        slice_items = st.acc.shape[1] * settings.max_samples
+        slice_items = st.acc.shape[0] * settings.max_samples
         work_done = (jnp.min(st.work_local) >= slice_items).astype(jnp.int32)
     else:
         work_done = (st.work_counter >= work_hi).astype(jnp.int32)
@@ -219,6 +221,7 @@ def render_image_wavefront(
     lanes: int = 131072,
     iters_per_launch: int = 16,
     max_launches: int = 1000,
+    strided: bool = False,
 ) -> tuple:
     """Full-frame render via the persistent pool.
 
@@ -241,9 +244,15 @@ def render_image_wavefront(
                 np.asarray(scene.env_map), settings.environment_intensity
             )
 
+    # NB: the scatter-free strided film (strided=True) is NOT the default:
+    # per-lane pixel partitions put adjacent lanes P pixels apart, so a
+    # 128-lane traversal block spans a whole image row -- the cluster-union
+    # blowup (measured +88 ms/wave) dwarfs the 5.5 ms scatter it saves.
+    # The global queue hands consecutive work ids to idle lanes, keeping
+    # blocks ~2 pixels wide.  (docs/PERF.md round-2 probes)
     spp = settings.max_samples
     strided_pixels = None
-    if total_work % lanes == 0 and (total_work // lanes) % spp == 0:
+    if strided and total_work % lanes == 0 and (total_work // lanes) % spp == 0:
         strided_pixels = total_work // lanes // spp  # P pixels per lane
     st = new_pool(settings, lanes, strided_pixels=strided_pixels)
 
@@ -256,7 +265,9 @@ def render_image_wavefront(
         if status[0] and not status[1]:
             break
 
-    acc = np.asarray(st.acc).reshape(settings.width * settings.height, 3)
+    acc = np.asarray(st.acc)
+    if acc.ndim == 3:  # [P,3,L] -> [L*P, 3] in pixel order
+        acc = np.transpose(acc, (2, 0, 1)).reshape(-1, 3)
     img = acc.reshape(settings.height, settings.width, 3)
     img = img / settings.max_samples
     return img[::-1].copy(), int(st.rays)
@@ -284,7 +295,7 @@ def new_pool(
         prev_pdf=jnp.zeros((lanes,), jnp.float32),
         work_counter=jnp.asarray(work_lo, jnp.int32),
         acc=(
-            jnp.zeros((lanes, strided_pixels, 3), jnp.float32)
+            jnp.zeros((strided_pixels, 3, lanes), jnp.float32)
             if strided_pixels
             else jnp.zeros((settings.width * settings.height, 3), jnp.float32)
         ),

@@ -86,7 +86,7 @@ def test_strided_film_matches_global_queue():
                        environment_color=(1, 0.9, 0.8), environment_intensity=1.0)
     # lanes=256 divides 16*16*4=1024 work items -> strided (P=1); lanes=1000
     # does not -> global queue
-    img_strided, rays_s = render_image_wavefront(scene, s, lanes=256, iters_per_launch=4)
+    img_strided, rays_s = render_image_wavefront(scene, s, lanes=256, iters_per_launch=4, strided=True)
     img_queue, rays_q = render_image_wavefront(scene, s, lanes=1000, iters_per_launch=4)
     np.testing.assert_allclose(img_strided, img_queue, rtol=1e-5, atol=1e-6)
     assert rays_s == rays_q

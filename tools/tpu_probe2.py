@@ -145,11 +145,11 @@ def probe_sweep(args):
     scene, settings = load(args.sub)
     o_p, d_p = make_rays(scene, args.n, "primary")
     o_b, d_b = make_rays(scene, args.n, "bounce")
-    for c in (256, 512, 1024):
+    for c in (512, 1024):
         fb = f2.build_fused2_scene(scene, cluster_size=c)
         for block in (128, 256, 512):
             for kind, (o, d) in (("primary", (o_p, d_p)), ("bounce", (o_b, d_b))):
-                for sort in ((False,) if kind == "primary" else (False, True)):
+                for sort in ((False,) if kind == "primary" else (True,)):
                     def wave(o, d, _fb=fb, _block=block, _sort=sort):
                         rec, _ = f2.fused2_closest_hit(
                             o, d, _fb, block=_block, sort=_sort)
@@ -244,10 +244,29 @@ def probe_wavestep(args):
             "mrays_render": round(rays / dt / 1e6, 2),
         }), flush=True)
 
+    # strided-film pool (scatter-free banking) at steady state
+    p_slots = total // lanes // settings.max_samples
+    st2 = wf.new_pool(settings, lanes, strided_pixels=p_slots)
+    for _ in range(2):
+        st2, _ = wf._run_chunk(scene, settings, st2, fb, False, jnp.int32(total), 8, None, None)
+    sync(st2.acc)
+    run = make_chunk(variants["unsorted"])
+    run2 = jax.jit(lambda st: run(st))
+    sync(run2(st2).acc)
+    dt = timeit(lambda: sync(run2(st2).acc))
+    s2 = run2(st2)
+    rays = int(s2.rays) - int(st2.rays)
+    print(json.dumps({
+        "probe": "wavestep", "variant": "unsorted-strided", "c": args.c,
+        "lanes": lanes,
+        "step_ms": round(dt / iters * 1e3, 2),
+        "mrays_render": round(rays / dt / 1e6, 2),
+    }), flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["traverse", "traverse8", "sweep", "sort", "wavestep", "xla"])
+    ap.add_argument("cmd", choices=["traverse", "traverse8", "sweep", "sort", "wavestep", "xla", "bank", "scatter"])
     ap.add_argument("--sub", type=int, default=7)
     ap.add_argument("--c", type=int, default=512)
     ap.add_argument("--block", type=int, default=128)
@@ -255,7 +274,7 @@ def main():
     ap.add_argument("--max-steps", type=int, default=256)
     args = ap.parse_args()
     dict(traverse=probe_traverse, traverse8=probe_traverse8, sweep=probe_sweep,
-         sort=probe_sort, wavestep=probe_wavestep, xla=probe_xla)[args.cmd](args)
+         sort=probe_sort, wavestep=probe_wavestep, xla=probe_xla, bank=probe_bank, scatter=probe_scatter)[args.cmd](args)
 
 
 
@@ -384,6 +403,128 @@ def probe_xla(args):
     keys = jnp.asarray(r.integers(0, 2**20, n).astype(np.int32))
     ms = rep(lambda k: jnp.argsort(k, stable=True), keys)
     print(json.dumps({"probe": "xla", "op": "argsort", "ms": round(ms, 2)}), flush=True)
+
+
+
+
+def probe_bank(args):
+    """Isolate the strided-film banking expression vs scatter-add."""
+    import jax
+    import jax.numpy as jnp
+
+    n = args.n
+    r = np.random.default_rng(0)
+    slot = jnp.asarray(r.integers(0, 8, n).astype(np.int32))
+    res = jnp.asarray(r.uniform(0, 1, (n, 3)).astype(np.float32))
+    done = jnp.asarray(r.integers(0, 2, n).astype(bool))
+    acc3 = jnp.zeros((8, 3, n), jnp.float32)
+    accL = jnp.zeros((n, 8, 3), jnp.float32)
+
+    def rep(fn, *xs):
+        def chained(length):
+            @jax.jit
+            def run(*xs):
+                def body(c, _):
+                    out = fn(*c)
+                    bump = 0.0 * jnp.sum(out)
+                    return tuple(
+                        x + bump.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+                        for x in c
+                    ), None
+
+                c, _ = jax.lax.scan(body, xs, None, length=length)
+                return c[0]
+
+            return run
+
+        r1, r8 = chained(1), chained(8)
+        sync(r1(*xs)); sync(r8(*xs))
+        d1 = timeit(lambda: sync(r1(*xs)))
+        d8 = timeit(lambda: sync(r8(*xs)))
+        return (d8 - d1) / 7 * 1e3
+
+    def bank3(acc, slot, res, done):
+        onehot = jnp.arange(8, dtype=jnp.int32)[:, None] == slot[None, :]
+        contrib = jnp.where(done[:, None], res, 0.0).T
+        return acc + jnp.where(onehot[:, None, :], contrib[None, :, :], 0.0)
+
+    ms = rep(bank3, acc3, slot, res, done)
+    print(json.dumps({"probe": "bank", "op": "bank_P3L", "ms": round(ms, 2)}), flush=True)
+
+    def bankL(acc, slot, res, done):
+        onehot = jnp.arange(8, dtype=jnp.int32)[None, :] == slot[:, None]
+        contrib = jnp.where(done[:, None], res, 0.0)
+        return acc + onehot[:, :, None] * contrib[:, None, :]
+
+    ms = rep(bankL, accL, slot, res, done)
+    print(json.dumps({"probe": "bank", "op": "bank_LP3", "ms": round(ms, 2)}), flush=True)
+
+    ms = rep(lambda res: res.T + 0.0, res)
+    print(json.dumps({"probe": "bank", "op": "transpose_N3", "ms": round(ms, 2)}), flush=True)
+
+    def bank_flat(accf, slot, res, done):
+        # [24, L]: row = slot*3 + channel; three masked row-adds
+        contrib = jnp.where(done[:, None], res, 0.0).T  # [3,L]
+        rows = jnp.arange(24, dtype=jnp.int32)[:, None]  # [24,1]
+        sel = rows == (slot[None, :] * 3 + 0)
+        out = accf + jnp.where(sel, contrib[0:1, :], 0.0)
+        sel = rows == (slot[None, :] * 3 + 1)
+        out = out + jnp.where(sel, contrib[1:2, :], 0.0)
+        sel = rows == (slot[None, :] * 3 + 2)
+        out = out + jnp.where(sel, contrib[2:3, :], 0.0)
+        return out
+
+    accf = jnp.zeros((24, n), jnp.float32)
+    ms = rep(bank_flat, accf, slot, res, done)
+    print(json.dumps({"probe": "bank", "op": "bank_24L", "ms": round(ms, 2)}), flush=True)
+
+
+
+
+def probe_scatter(args):
+    """Film scatter-add variants: random vs sorted indices (+XLA hint)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = args.n
+    r = np.random.default_rng(0)
+    pix_rand = jnp.asarray(r.integers(0, 1024 * 1024, n).astype(np.int32))
+    pix_sorted = jnp.sort(pix_rand)
+    res = jnp.asarray(r.uniform(0, 1, (n, 3)).astype(np.float32))
+    acc0 = jnp.zeros((1024 * 1024, 3), jnp.float32)
+
+    def rep(fn, *xs):
+        def chained(length):
+            @jax.jit
+            def run(*xs):
+                def body(c, _):
+                    out = fn(*c)
+                    bump = 0.0 * jnp.sum(out)
+                    return tuple(
+                        x + bump.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+                        for x in c
+                    ), None
+
+                c, _ = jax.lax.scan(body, xs, None, length=length)
+                return c[0]
+
+            return run
+
+        r1, r8 = chained(1), chained(8)
+        sync(r1(*xs)); sync(r8(*xs))
+        d1 = timeit(lambda: sync(r1(*xs)))
+        d8 = timeit(lambda: sync(r8(*xs)))
+        return (d8 - d1) / 7 * 1e3
+
+    ms = rep(lambda a, p, v: a.at[p].add(v), acc0, pix_rand, res)
+    print(json.dumps({"probe": "scatter", "op": "random", "ms": round(ms, 2)}), flush=True)
+    ms = rep(lambda a, p, v: a.at[p].add(v), acc0, pix_sorted, res)
+    print(json.dumps({"probe": "scatter", "op": "sorted_noflag", "ms": round(ms, 2)}), flush=True)
+    ms = rep(lambda a, p, v: a.at[p].add(v, indices_are_sorted=True), acc0, pix_sorted, res)
+    print(json.dumps({"probe": "scatter", "op": "sorted_flag", "ms": round(ms, 2)}), flush=True)
+    ms = rep(lambda a, p, v: a.at[p].add(v, indices_are_sorted=True, unique_indices=True),
+             acc0, jnp.arange(n, dtype=jnp.int32) * 7, res)
+    print(json.dumps({"probe": "scatter", "op": "sorted_unique_flag", "ms": round(ms, 2)}), flush=True)
 
 
 if __name__ == "__main__":
