@@ -151,7 +151,44 @@ def wavefront_step(
         work_counter = st.work_counter
     else:
         # --- bank finished paths into the film ---
-        acc = st.acc.at[st.pixel].add(jnp.where(path_done[:, None], ps.result, 0.0))
+        # The queue hands ids in order and a path lives <= depth+1 steps, so
+        # outstanding ids span < (depth+2)*lanes and all finished pixels fall
+        # in a bounded window above the oldest live pixel.  When that window
+        # is small, banking is a [3,L]x[L,W] one-hot MXU matmul + one
+        # dynamic-slice row update (~1 ms) instead of a 131k-index film
+        # scatter-add (measured 5.5 ms, invariant to sortedness hints).
+        n_pix = settings.width * settings.height
+        spp = settings.max_samples
+        w_win = ((settings.max_path_depth + 2) * lanes // spp + 2 + 127) // 128 * 128
+        contrib = jnp.where(path_done[:, None], ps.result, 0.0)  # [L,3]
+        if w_win <= min(16384, n_pix):
+            base = jnp.min(jnp.where(path_done, st.pixel, jnp.int32(2**30)))
+            base = jnp.clip(base, 0, n_pix - w_win)
+            rel = st.pixel - base
+            onehot = jnp.where(
+                (rel[:, None] == jnp.arange(w_win, dtype=jnp.int32)[None, :])
+                & path_done[:, None],
+                1.0,
+                0.0,
+            )  # [L,W]
+            partial = jnp.dot(
+                contrib.T, onehot, preferred_element_type=jnp.float32
+            )  # [3,W]
+            cur = jax.lax.dynamic_slice(st.acc, (base, jnp.int32(0)), (w_win, 3))
+            acc = jax.lax.dynamic_update_slice(st.acc, cur + partial.T, (base, jnp.int32(0)))
+            # NaN-retry lanes don't advance depth, so a pathological straggler
+            # can outlive the (depth+2)*lanes id-span bound; spill any
+            # out-of-window contribution through the exact scatter (the cond
+            # branch is never taken in practice and costs nothing)
+            unsafe = path_done & (rel >= w_win)
+            acc = jax.lax.cond(
+                jnp.any(unsafe),
+                lambda a: a.at[st.pixel].add(jnp.where(unsafe[:, None], contrib, 0.0)),
+                lambda a: a,
+                acc,
+            )
+        else:
+            acc = st.acc.at[st.pixel].add(contrib)
 
         # --- regenerate finished lanes on fresh work items ---
         order = jnp.cumsum(idle.astype(jnp.int32)) - 1  # rank among idle lanes

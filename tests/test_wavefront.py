@@ -90,3 +90,28 @@ def test_strided_film_matches_global_queue():
     img_queue, rays_q = render_image_wavefront(scene, s, lanes=1000, iters_per_launch=4)
     np.testing.assert_allclose(img_strided, img_queue, rtol=1e-5, atol=1e-6)
     assert rays_s == rays_q
+
+
+def test_windowed_film_banking_matches_scatter():
+    """The one-hot-matmul window banking must equal the scatter path: same
+    work items -> same per-item radiance; only f32 sum order differs."""
+    import numpy as np
+    from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
+    from test_integrator import make_sphere_mesh
+    from owl_path_tracer_tpu.models import material as material_mod
+    from owl_path_tracer_tpu.models.camera import make_camera
+    from owl_path_tracer_tpu.models.scene import RenderSettings, scene_from_arrays
+    from owl_path_tracer_tpu.utils.parser import CameraDesc
+
+    mat = material_mod.single(base_color=(0.6, 0.4, 0.3), roughness=0.7)
+    v, idx, n = make_sphere_mesh(np.zeros(3), 1.0)
+    cam = make_camera(CameraDesc((3, 0, 0), (0, 0, 0), (0, 1, 0), 45), (64, 64))
+    scene = scene_from_arrays(v, idx, mat, np.zeros(len(idx), np.int32), cam, normals=n)
+    s = RenderSettings(width=64, height=64, max_samples=16, max_path_depth=3,
+                       environment_color=(1, 0.9, 0.8), environment_intensity=1.0)
+    # lanes=256: window W=(3+2)*256/16+2 -> 128 <= 4096 pixels -> WINDOW path
+    # lanes=16384: W > 4096 -> scatter path
+    img_win, rays_w = render_image_wavefront(scene, s, lanes=256, iters_per_launch=8)
+    img_sc, rays_s = render_image_wavefront(scene, s, lanes=16384, iters_per_launch=8)
+    np.testing.assert_allclose(img_win, img_sc, rtol=1e-5, atol=1e-6)
+    assert rays_w == rays_s
