@@ -563,18 +563,21 @@ def make_brute_occluder(scene: Scene, tri_chunk: int = 512) -> Callable:
     return occlude
 
 
-def make_intersectors(scene: Scene, accel, tri_chunk: int = 512):
+def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: int | None = None):
     """Accel -> (intersect_fn, occlude_fn) dispatch shared by every renderer
-    (film, wavefront, sharded).  ``accel=None`` selects the brute sweep."""
+    (film, wavefront, sharded).  ``accel=None`` selects the brute sweep.
+    ``fused2_block`` overrides the fused2 kernel's rays-per-block (coherent
+    waves favor 256, incoherent 128)."""
     from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
     from ..ops.fused import FusedBVH, fused_occluded, make_fused_intersector
-    from ..ops.fused2 import Fused2BVH, fused2_occluded, make_fused2_intersector
+    from ..ops.fused2 import BLOCK_RAYS, Fused2BVH, fused2_occluded, make_fused2_intersector
     from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
 
     if isinstance(accel, Fused2BVH):
+        blk = fused2_block or BLOCK_RAYS
         return (
-            make_fused2_intersector(accel),
-            lambda p, d, dist: fused2_occluded(p, d, accel, t_max=dist),
+            make_fused2_intersector(accel, block=blk),
+            lambda p, d, dist: fused2_occluded(p, d, accel, t_max=dist, block=blk),
         )
     if isinstance(accel, FusedBVH):
         return (

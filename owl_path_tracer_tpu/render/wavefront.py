@@ -228,11 +228,13 @@ def wavefront_step(
     )
 
 
-@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters"))
-def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light):
+@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters", "fused2_block"))
+def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None):
     """``iters`` wavefront steps.  ``work_hi`` is traced (per-shard bound when
     the pool runs under shard_map); accel dispatch is by python type."""
-    intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
+    intersect_fn, occlude_fn = integrator.make_intersectors(
+        scene, accel, fused2_block=fused2_block
+    )
 
     def body(st, _):
         return wavefront_step(
@@ -259,6 +261,7 @@ def render_image_wavefront(
     iters_per_launch: int = 16,
     max_launches: int = 1000,
     strided: bool = False,
+    fused2_block: int | None = None,
 ) -> tuple:
     """Full-frame render via the persistent pool.
 
@@ -296,7 +299,7 @@ def render_image_wavefront(
     for _ in range(max_launches):
         st, status = _run_chunk(
             scene, settings, st, accel, enable_textures, jnp.int32(total_work),
-            iters_per_launch, lights, env_light,
+            iters_per_launch, lights, env_light, fused2_block=fused2_block,
         )
         status = np.asarray(status)
         if status[0] and not status[1]:

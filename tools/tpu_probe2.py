@@ -221,9 +221,10 @@ def probe_wavestep(args):
 
         return run_chunk
 
+    wb = args.wave_block
     variants = {
-        "sorted": lambda o, d: f2.fused2_closest_hit(o, d, fb, sort=True),
-        "unsorted": lambda o, d: f2.fused2_closest_hit(o, d, fb, sort=False),
+        "sorted": lambda o, d: f2.fused2_closest_hit(o, d, fb, sort=True, block=wb),
+        "unsorted": lambda o, d: f2.fused2_closest_hit(o, d, fb, sort=False, block=wb),
         "null": lambda o, d: (
             HitRecord(
                 t=jnp.full(o.shape[:1], 2.0), tri=jnp.zeros(o.shape[:1], jnp.int32),
@@ -271,7 +272,8 @@ def main():
     ap.add_argument("--c", type=int, default=512)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--n", type=int, default=131072)
-    ap.add_argument("--max-steps", type=int, default=256)
+    ap.add_argument("--max-steps", type=int, default=512)
+    ap.add_argument("--wave-block", type=int, default=128)
     args = ap.parse_args()
     dict(traverse=probe_traverse, traverse8=probe_traverse8, sweep=probe_sweep,
          sort=probe_sort, wavestep=probe_wavestep, xla=probe_xla, bank=probe_bank, scatter=probe_scatter)[args.cmd](args)
