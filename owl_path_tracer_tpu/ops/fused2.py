@@ -216,19 +216,22 @@ def _default_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _pick_next(ent, prune_t, k, col_k):
-    """Scalar id of the block's nearest needed cluster (k = none)."""
-    mn = jnp.min(ent, axis=-1, keepdims=True)  # [B,1]
-    active = mn < prune_t
-    cid = jnp.min(
-        jnp.where((ent == mn) & active, col_k, k), axis=-1, keepdims=True
-    )  # [B,1]
-    return jnp.min(jnp.where(active, cid, k))  # scalar
+def _pick_block(bent, pmax, k, col_k1):
+    """Scalar id of the block's nearest still-needed cluster (k = none).
+
+    ``bent`` is the [1,K] block frontier (min entry over the block's rays);
+    ``pmax`` the block prune bound (max over rays of their per-ray prune t).
+    ~3 passes over [1,K] -- the per-ray [B,K] pick this replaces cost ~8
+    passes over a matrix B x bigger every retirement (docs/PERF.md round 2).
+    """
+    mn = jnp.min(bent)  # scalar
+    cid = jnp.min(jnp.where((bent == mn) & (mn < pmax), col_k1, k))
+    return cid  # scalar
 
 
 def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
             rays_ref, boxes_ref, planes_ref, attrs_ref, out_ref,
-            ent_ref, buf_ref, abuf_ref, best_ref, attr_ref, sem, asem, ctl_ref):
+            bent_ref, buf_ref, abuf_ref, best_ref, attr_ref, sem, asem, ctl_ref):
     rays = rays_ref[0]  # [B,8]
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
@@ -254,7 +257,12 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
     t_min = m.T_MIN
 
-    # ── phase A in VMEM: [B,K] slab entries ──
+    # ── phase A: [B,K] slab test, reduced straight to the [1,K] block
+    # frontier (min entry over the block's rays).  The per-ray entry matrix
+    # never needs to persist: the MT test runs block-wide on the MXU anyway,
+    # and any valid hit inside a cluster's AABB necessarily has
+    # entry <= t < best, so the ``t < best`` window in the hit test subsumes
+    # the old per-ray participation mask. ──
     tn = jnp.full((b, k), -jnp.inf, jnp.float32)
     tf = jnp.full((b, k), jnp.inf, jnp.float32)
     for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
@@ -267,7 +275,9 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     t_enter = jnp.maximum(tn, t_min)
     hit_box = t_enter <= jnp.minimum(tf, tmax)
-    ent_ref[:, :] = jnp.where(hit_box, t_enter, jnp.inf)
+    bent_ref[:, :] = jnp.min(
+        jnp.where(hit_box, t_enter, jnp.inf), axis=0, keepdims=True
+    )  # [1,K]
 
     zeros = jnp.zeros((b, 1), jnp.float32)
     best_ref[:, 0:1] = tmax
@@ -281,11 +291,22 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     best_ref[:, 9:16] = jnp.zeros((b, 7), jnp.float32)
     attr_ref[:, :] = jnp.zeros((b, 16), jnp.float32)
 
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    col_k1 = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     col_c = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
 
+    # block prune bound: a cluster is worth visiting iff its nearest entry
+    # over the block beats SOME ray's prune t (conservative block-level
+    # over-approximation of the old per-ray test; coherent blocks have
+    # near-identical best t's so the slack is small)
+    def block_pmax():
+        if any_hit:
+            return jnp.max(
+                jnp.where(best_ref[:, 4:5] > 0.0, -jnp.inf, best_ref[:, 0:1])
+            )
+        return jnp.max(best_ref[:, 0:1])
+
     # ── warm-up: pick + prefetch the first cluster into slot 0 ──
-    c0 = _pick_next(ent_ref[:, :], best_ref[:, 0:1], k, col_k)
+    c0 = _pick_block(bent_ref[:, :], block_pmax(), k, col_k1)
     ctl_ref[0] = jnp.where(c0 < k, 0, 1)  # done flag
     ctl_ref[1] = c0  # slot-0 cluster id
 
@@ -308,16 +329,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
             slot = jax.lax.rem(i, 2)
             nslot = 1 - slot
             c_cur = jnp.where(slot == 0, ctl_ref[1], ctl_ref[2])
-            ent = ent_ref[:, :]
-            is_cur = col_k == c_cur
-            ent_x = jnp.where(is_cur, jnp.inf, ent)  # current excluded/retired
+            bent = bent_ref[:, :]
+            bent_x = jnp.where(col_k1 == c_cur, jnp.inf, bent)  # retire current
 
-            if any_hit:
-                # a ray prunes everything once it has any hit
-                prune_t = jnp.where(best_ref[:, 4:5] > 0.0, -jnp.inf, best_ref[:, 0:1])
-            else:
-                prune_t = best_ref[:, 0:1]
-            cn = _pick_next(ent_x, prune_t, k, col_k)
+            cn = _pick_block(bent_x, block_pmax(), k, col_k1)
             have_n = cn < k
 
             @pl.when(have_n & (slot == 0))
@@ -333,13 +348,6 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                 pltpu.make_async_copy(
                     planes_ref.at[cn], buf_ref.at[nslot], sem.at[nslot]
                 ).start()
-
-            # participation mask BEFORE waiting on the in-flight DMA
-            e_c = jnp.min(jnp.where(is_cur, ent, jnp.inf), axis=-1, keepdims=True)
-            if any_hit:
-                mine = (best_ref[:, 4:5] == 0.0) & (e_c < best_ref[:, 0:1])
-            else:
-                mine = e_c < best_ref[:, 0:1]
 
             pltpu.make_async_copy(
                 planes_ref.at[c_cur], buf_ref.at[slot], sem.at[slot]
@@ -361,11 +369,8 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                     & (ua + vb <= dd)
                     & (tcd > dd * t_min)
                     & (tcd < dd * best_ref[:, 0:1])
+                    & (tid >= 0.0)
                 )
-                dd_safe = jnp.where(dd < 1e-12, 1.0, dd)
-                t = tcd / dd_safe
-                u = ua / dd_safe
-                v = vb / dd_safe
             else:
                 pb = buf_ref[slot]  # [16,C]
                 tid = pb[9:10, :]
@@ -376,7 +381,7 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                     (pb[6:7, :], pb[7:8, :], pb[8:9, :]),
                     t_min, best_ref[:, 0:1],
                 )
-            ok &= mine & (tid >= 0.0)
+                ok &= tid >= 0.0
 
             if any_hit:
                 got = jnp.max(
@@ -384,7 +389,17 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                 )
                 best_ref[:, 4:5] = jnp.maximum(best_ref[:, 4:5], got)
             else:
-                t = jnp.where(ok, t, jnp.inf)
+                if mxu:
+                    # winner selection on the DIVISION-FREE products: pick
+                    # the smallest t = tcd/dd via the elementwise quotient
+                    # (one [B,C] divide), then recover u,v with two [B,1]
+                    # divides on the picked numerators -- bit-identical to
+                    # dividing first (same operands, same rounding), minus
+                    # two full-width [B,C] divides per retirement
+                    dd_safe = jnp.where(dd < 1e-12, 1.0, dd)
+                    t = jnp.where(ok, tcd / dd_safe, jnp.inf)
+                else:
+                    t = jnp.where(ok, t, jnp.inf)
                 tc = jnp.min(t, axis=-1, keepdims=True)  # [B,1]
                 wcol = jnp.min(
                     jnp.where(t == tc, col_c, c), axis=-1, keepdims=True
@@ -394,9 +409,17 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                 pick = lambda x: jnp.sum(
                     jnp.where(onehot, x, 0.0), axis=-1, keepdims=True
                 )
+                if mxu:
+                    dd_w = pick(dd)
+                    dd_w = jnp.where(dd_w < 1e-12, 1.0, dd_w)
+                    u = pick(ua) / dd_w
+                    v = pick(vb) / dd_w
+                else:
+                    u = pick(u)
+                    v = pick(v)
                 best_ref[:, 0:1] = jnp.where(better, tc, best_ref[:, 0:1])
-                best_ref[:, 1:2] = jnp.where(better, pick(u), best_ref[:, 1:2])
-                best_ref[:, 2:3] = jnp.where(better, pick(v), best_ref[:, 2:3])
+                best_ref[:, 1:2] = jnp.where(better, u, best_ref[:, 1:2])
+                best_ref[:, 2:3] = jnp.where(better, v, best_ref[:, 2:3])
                 best_ref[:, 3:4] = jnp.where(
                     better, pick(jnp.broadcast_to(tid, (b, c))), best_ref[:, 3:4]
                 )
@@ -407,9 +430,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                 best_ref[:, 8:9] = jnp.where(
                     better, wcol.astype(jnp.float32), best_ref[:, 8:9]
                 )
-            best_ref[:, 6:7] = best_ref[:, 6:7] + jnp.where(mine, 1.0, 0.0)
+            # block-level clusters-retired counter (diagnostic)
+            best_ref[:, 6:7] = best_ref[:, 6:7] + 1.0
 
-            ent_ref[:, :] = ent_x
+            bent_ref[:, :] = bent_x
         return (i + 1, jnp.where(have_n, 0, 1))
 
     fin_i, fin_done = jax.lax.while_loop(
@@ -426,13 +450,11 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
             planes_ref.at[c_pend], buf_ref.at[slot], sem.at[slot]
         ).wait()
 
-    # unresolved check: any remaining candidate nearer than best
-    ent = ent_ref[:, :]
-    nearest = jnp.min(ent, axis=-1, keepdims=True)
-    if any_hit:
-        unres = (best_ref[:, 4:5] == 0.0) & (nearest < best_ref[:, 0:1])
-    else:
-        unres = nearest < best_ref[:, 0:1]
+    # unresolved check (max_steps overflow only): any remaining frontier
+    # candidate nearer than the block prune bound taints the WHOLE block --
+    # block-granular is fine, the fallback keeps resolved lanes untouched
+    nearest = jnp.min(bent_ref[:, :])
+    unres = (fin_done == 0) & (nearest < block_pmax())
     best_ref[:, 5:6] = jnp.where(unres, 0.0, best_ref[:, 5:6])
 
     # ── attribute replay: one DMA + one-hot select per DISTINCT winner ──
@@ -527,7 +549,7 @@ def fused2_traverse(
         out_specs=pl.BlockSpec((1, block, 32), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, block, 32), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
             pltpu.VMEM((2, 16, 4 * c if mxu else c), jnp.float32),
             pltpu.VMEM((16, c), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),

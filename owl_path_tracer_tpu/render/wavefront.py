@@ -296,14 +296,21 @@ def render_image_wavefront(
         strided_pixels = total_work // lanes // spp  # P pixels per lane
     st = new_pool(settings, lanes, strided_pixels=strided_pixels)
 
+    # pipelined host loop: dispatch launch i+1 BEFORE reading launch i's
+    # status, so the relay's ~24 ms dispatch latency overlaps device compute
+    # (JAX async dispatch; the only forced sync is the one-launch-old status
+    # readback).  Costs at most one extra launch of dead steps at the end.
+    prev_status = None
     for _ in range(max_launches):
         st, status = _run_chunk(
             scene, settings, st, accel, enable_textures, jnp.int32(total_work),
             iters_per_launch, lights, env_light, fused2_block=fused2_block,
         )
-        status = np.asarray(status)
-        if status[0] and not status[1]:
-            break
+        if prev_status is not None:
+            ps = np.asarray(prev_status)
+            if ps[0] and not ps[1]:
+                break
+        prev_status = status
 
     acc = np.asarray(st.acc)
     if acc.ndim == 3:  # [P,3,L] -> [L*P, 3] in pixel order
