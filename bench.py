@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--pixel-chunk", type=int, default=65536)
     ap.add_argument("--renderer", choices=["wavefront", "scan"], default="wavefront")
     ap.add_argument("--lanes", type=int, default=131072)
+    ap.add_argument(
+        "--fused2-block", type=int, default=256,
+        help="rays per fused2 kernel block (256 best measured; 128 for very incoherent loads)",
+    )
     ap.add_argument("--quick", action="store_true", help="256^2, spp=2, sub=6 smoke config")
     args = ap.parse_args()
     if args.quick:
@@ -77,9 +81,15 @@ def main():
         # warm-up/compile with the IDENTICAL static config (spp is static in
         # the jitted chunk, so a different-spp warm-up would not prime the
         # compile cache and the timed run would include ~25 s of compilation)
-        render_image_wavefront(scene, settings, accel=accel, lanes=args.lanes)
+        render_image_wavefront(
+            scene, settings, accel=accel, lanes=args.lanes,
+            fused2_block=args.fused2_block,
+        )
         t0 = time.time()
-        _, rays = render_image_wavefront(scene, settings, accel=accel, lanes=args.lanes)
+        _, rays = render_image_wavefront(
+            scene, settings, accel=accel, lanes=args.lanes,
+            fused2_block=args.fused2_block,
+        )
         dt = time.time() - t0
     else:
         warm = film_mod.new_film(settings)

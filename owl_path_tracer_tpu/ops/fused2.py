@@ -18,11 +18,13 @@ backend).  This kernel removes all four costs:
     block retires the moment every ray is either occluded or out of
     candidates -- the TPU equivalent of OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT
     (/root/reference/path_tracer/src/device/device.cu:106-107);
-  * **attribute replay**: after traversal, the kernel walks the (few)
-    distinct winner clusters of the block and one-hot-selects each ray's
-    16-float shading payload (vertex normals, texcoords, material id) from a
-    parallel [K,16,C] attribute plane array -- so the integrator needs NO
-    per-ray gather at all for surface data.
+  * **in-loop attribute fetch**: every retirement DMAs the cluster's [16,C]
+    shading payload (vertex normals, texcoords, material id) alongside its
+    plane block -- the same two-slot pipeline, so the payload is already in
+    VMEM when the winner update runs -- and folds the winner's payload into
+    the ray state with 16 exact one-hot row selects.  The integrator needs
+    NO per-ray gather at all for surface data, and there is no serial
+    post-loop replay phase paying a cold DMA per distinct winner.
 
 Same capability as the reference's OptiX hardware traversal
 (owl::traceRay, device.cu:133; AS build application.cpp:131-140), re-derived
@@ -57,7 +59,7 @@ ATTR_ROWS = 16
 
 # best-state column layout of the [B,16] kernel scratch / out[:, :16]
 #   0 t   1 u   2 v   3 tri(f32)   4 hit   5 resolved   6 steps
-#   7 winner-cluster id   8 winner slot-in-cluster   10 attrs-fetched
+#   7 winner-cluster id   8 winner slot-in-cluster
 
 
 class Fused2BVH(NamedTuple):
@@ -68,7 +70,7 @@ class Fused2BVH(NamedTuple):
     # (Moller-Trumbore as ONE matmul; tid stored in row 10 of group 0, which
     # multiplies a zero ray-feature row)
     planes: jnp.ndarray
-    attrs: jnp.ndarray  # [K,16,C]: shading payload planes (layout above)
+    attrs: jnp.ndarray  # [K,16,C]: shading payload planes (row layout above)
     attr_table: jnp.ndarray  # [T,16] same payload by tri id (fallback/grad path)
     bounds: jnp.ndarray  # [2,3] scene AABB (ray-sort key quantization)
     cluster: ClusterBVH  # exact XLA fallback path
@@ -263,21 +265,25 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     # and any valid hit inside a cluster's AABB necessarily has
     # entry <= t < best, so the ``t < best`` window in the hit test subsumes
     # the old per-ray participation mask. ──
-    tn = jnp.full((b, k), -jnp.inf, jnp.float32)
-    tf = jnp.full((b, k), jnp.inf, jnp.float32)
-    for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
-        bmin = boxes_ref[a : a + 1, :]  # [1,K]
-        bmax = boxes_ref[3 + a : 4 + a, :]
-        oi = oa * ia  # [B,1]
-        t0 = ia * bmin - oi  # [B,K]
-        t1 = ia * bmax - oi
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    t_enter = jnp.maximum(tn, t_min)
-    hit_box = t_enter <= jnp.minimum(tf, tmax)
-    bent_ref[:, :] = jnp.min(
-        jnp.where(hit_box, t_enter, jnp.inf), axis=0, keepdims=True
-    )  # [1,K]
+    def frontier(cap):
+        """[1,K] block frontier: min over rays of box entry, counting only
+        entries a ray still needs (entry < that ray's cap)."""
+        tn = jnp.full((b, k), -jnp.inf, jnp.float32)
+        tf = jnp.full((b, k), jnp.inf, jnp.float32)
+        for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
+            bmin = boxes_ref[a : a + 1, :]  # [1,K]
+            bmax = boxes_ref[3 + a : 4 + a, :]
+            oi = oa * ia  # [B,1]
+            t0 = ia * bmin - oi  # [B,K]
+            t1 = ia * bmax - oi
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        t_enter = jnp.maximum(tn, t_min)
+        need = (t_enter <= jnp.minimum(tf, tmax)) & (t_enter < cap)
+        return jnp.min(jnp.where(need, t_enter, jnp.inf), axis=0, keepdims=True)
+
+    # cap = tmax is exact: a valid hit needs t < tmax and entry <= t
+    bent_ref[:, :] = frontier(tmax)
 
     zeros = jnp.zeros((b, 1), jnp.float32)
     best_ref[:, 0:1] = tmax
@@ -290,6 +296,7 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     best_ref[:, 8:9] = zeros - 1.0  # winner slot
     best_ref[:, 9:16] = jnp.zeros((b, 7), jnp.float32)
     attr_ref[:, :] = jnp.zeros((b, 16), jnp.float32)
+    fetch_attrs = with_attrs and not any_hit
 
     col_k1 = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     col_c = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
@@ -313,6 +320,8 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     @pl.when(c0 < k)
     def _():
         pltpu.make_async_copy(planes_ref.at[c0], buf_ref.at[0], sem.at[0]).start()
+        if fetch_attrs:
+            pltpu.make_async_copy(attrs_ref.at[c0], abuf_ref.at[0], asem.at[0]).start()
 
     # ── pipelined retirement loop: pick+prefetch next, intersect current ──
     # A real while_loop, NOT a fixed-trip fori with a skip flag: a skipped
@@ -326,6 +335,27 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     def loop_body(carry):
         i, _ = carry
         if True:  # keep the original body indentation block
+            # ── periodic frontier refresh with PER-RAY caps ──
+            # The block prune bound (pmax = max over rays of best t) is only
+            # tight while the block's rays agree: one miss-bound ray keeps
+            # pmax huge and would make the block retire every cluster ANY ray
+            # merely passes through, even far behind other rays' hits.
+            # Re-running the (cheap) slab test with each ray's own best t as
+            # cap every 8 retirements restores per-ray pruning semantics with
+            # bounded lag; already-retired clusters stay retired.
+            @pl.when(jax.lax.rem(i, 8) == 7)
+            def _():
+                if any_hit:
+                    cap = jnp.where(
+                        best_ref[:, 4:5] > 0.0, 0.0, best_ref[:, 0:1]
+                    )
+                else:
+                    cap = best_ref[:, 0:1]
+                fresh = frontier(cap)
+                bent_ref[:, :] = jnp.where(
+                    bent_ref[:, :] == jnp.inf, jnp.inf, fresh
+                )
+
             slot = jax.lax.rem(i, 2)
             nslot = 1 - slot
             c_cur = jnp.where(slot == 0, ctl_ref[1], ctl_ref[2])
@@ -348,6 +378,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                 pltpu.make_async_copy(
                     planes_ref.at[cn], buf_ref.at[nslot], sem.at[nslot]
                 ).start()
+                if fetch_attrs:
+                    pltpu.make_async_copy(
+                        attrs_ref.at[cn], abuf_ref.at[nslot], asem.at[nslot]
+                    ).start()
 
             pltpu.make_async_copy(
                 planes_ref.at[c_cur], buf_ref.at[slot], sem.at[slot]
@@ -430,6 +464,24 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                 best_ref[:, 8:9] = jnp.where(
                     better, wcol.astype(jnp.float32), best_ref[:, 8:9]
                 )
+                if fetch_attrs:
+                    # winner payload folded in RIGHT HERE: 16 one-hot row
+                    # selects over the pipelined [16,C] attr buffer.  Exact
+                    # (no matmul rounding), ~48 [B,C] VPU passes that hide
+                    # under the next iteration's MXU MT matmul -- and no
+                    # serial post-loop replay paying a cold DMA per winner.
+                    pltpu.make_async_copy(
+                        attrs_ref.at[c_cur], abuf_ref.at[slot], asem.at[slot]
+                    ).wait()
+                    oh_b = onehot & better
+                    for r in range(ATTR_ROWS):
+                        val = jnp.sum(
+                            jnp.where(oh_b, abuf_ref[slot, r : r + 1, :], 0.0),
+                            axis=-1, keepdims=True,
+                        )
+                        attr_ref[:, r : r + 1] = jnp.where(
+                            better, val, attr_ref[:, r : r + 1]
+                        )
             # block-level clusters-retired counter (diagnostic)
             best_ref[:, 6:7] = best_ref[:, 6:7] + 1.0
 
@@ -449,6 +501,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
         pltpu.make_async_copy(
             planes_ref.at[c_pend], buf_ref.at[slot], sem.at[slot]
         ).wait()
+        if fetch_attrs:
+            pltpu.make_async_copy(
+                attrs_ref.at[c_pend], abuf_ref.at[slot], asem.at[slot]
+            ).wait()
 
     # unresolved check (max_steps overflow only): any remaining frontier
     # candidate nearer than the block prune bound taints the WHOLE block --
@@ -456,49 +512,6 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     nearest = jnp.min(bent_ref[:, :])
     unres = (fin_done == 0) & (nearest < block_pmax())
     best_ref[:, 5:6] = jnp.where(unres, 0.0, best_ref[:, 5:6])
-
-    # ── attribute replay: one DMA + one-hot select per DISTINCT winner ──
-    if with_attrs and not any_hit:
-        kf = jnp.float32(k)
-
-        def r_cond(carry):
-            j, done = carry
-            return (done == 0) & (j < max_steps)
-
-        def r_body(carry):
-            j, _ = carry
-            need = (best_ref[:, 4:5] > 0.0) & (best_ref[:, 10:11] == 0.0)
-            wc = jnp.where(need, best_ref[:, 7:8], kf)
-            cmin_f = jnp.min(wc)  # scalar f32 (cluster ids exact)
-
-            @pl.when(cmin_f < kf)
-            def _():
-                cstar = cmin_f.astype(jnp.int32)
-                ad = pltpu.make_async_copy(attrs_ref.at[cstar], abuf_ref, asem)
-                ad.start()
-                sel = need & (best_ref[:, 7:8] == cmin_f)
-                onehot = (
-                    col_c == best_ref[:, 8:9].astype(jnp.int32)
-                ) & sel
-                ad.wait()
-                for r in range(ATTR_ROWS):
-                    attr_ref[:, r : r + 1] = jnp.where(
-                        sel,
-                        jnp.sum(
-                            jnp.where(onehot, abuf_ref[r : r + 1, :], 0.0),
-                            axis=-1, keepdims=True,
-                        ),
-                        attr_ref[:, r : r + 1],
-                    )
-                best_ref[:, 10:11] = jnp.where(sel, 1.0, best_ref[:, 10:11])
-
-            return (j + 1, jnp.where(cmin_f < kf, 0, 1))
-
-        jax.lax.while_loop(r_cond, r_body, (jnp.int32(0), jnp.int32(0)))
-        # a ray that never got its attrs (replay overflow) must take the
-        # exact-fallback path
-        still = (best_ref[:, 4:5] > 0.0) & (best_ref[:, 10:11] == 0.0)
-        best_ref[:, 5:6] = jnp.where(still, 0.0, best_ref[:, 5:6])
 
     out_ref[0, :, 0:16] = best_ref[:, :]
     out_ref[0, :, 16:32] = attr_ref[:, :]
@@ -512,7 +525,7 @@ def fused2_traverse(
 ):
     """Raw kernel sweep: [N] rays -> [N,32].
 
-    cols 0:16 best state (t,u,v,tri,hit,resolved,steps,wcid,wslot,_,fetched,..);
+    cols 0:16 best state (t,u,v,tri,hit,resolved,steps,wcid,wslot,..);
     cols 16:32 shading attr payload of the winning triangle.
     """
     _ensure_pallas()
@@ -551,11 +564,11 @@ def fused2_traverse(
         scratch_shapes=[
             pltpu.VMEM((1, k), jnp.float32),
             pltpu.VMEM((2, 16, 4 * c if mxu else c), jnp.float32),
-            pltpu.VMEM((16, c), jnp.float32),
+            pltpu.VMEM((2, 16, c), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((8,), jnp.int32),
         ],
         interpret=interpret,
