@@ -55,40 +55,13 @@ def new_film(settings: RenderSettings) -> Film:
     )
 
 
-@partial(jax.jit, static_argnames=("settings", "num_samples", "enable_textures", "tri_chunk"))
-def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, accel, lights, env_light):
-    from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
-    from ..ops.fused import FusedBVH, fused_occluded, make_fused_intersector
-    from ..ops.fused2 import Fused2BVH, fused2_occluded, make_fused2_intersector
-    from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
-
-    if isinstance(accel, Fused2BVH):
-        intersect_fn = make_fused2_intersector(accel)
-
-        def occlude_fn(pos, direction, max_dist):
-            return fused2_occluded(pos, direction, accel, t_max=max_dist)
-
-    elif isinstance(accel, FusedBVH):
-        intersect_fn = make_fused_intersector(accel)
-
-        def occlude_fn(pos, direction, max_dist):
-            return fused_occluded(pos, direction, accel, t_max=max_dist)
-
-    elif isinstance(accel, ClusterBVH):
-        intersect_fn = make_cluster_intersector(accel)
-
-        def occlude_fn(pos, direction, max_dist):
-            return cluster_occluded(pos, direction, accel, t_max=max_dist)
-
-    elif isinstance(accel, DeviceBVH):
-        intersect_fn = make_bvh_intersector(accel)
-
-        def occlude_fn(pos, direction, max_dist):
-            return bvh_occluded(pos, direction, accel, t_max=max_dist)
-
-    else:
-        intersect_fn = integrator.make_brute_intersector(scene, tri_chunk=tri_chunk)
-        occlude_fn = integrator.make_brute_occluder(scene, tri_chunk=tri_chunk)
+@partial(jax.jit, static_argnames=("settings", "num_samples", "enable_textures", "tri_chunk", "fused2_block"))
+def _sample_sum_jit(scene, settings, pixel_xy, rng_state, num_samples, enable_textures, tri_chunk, accel, lights, env_light, fused2_block=None):
+    # single source of truth for accel -> (intersect, occlude) dispatch
+    # (a second hand-maintained copy here had already drifted; VERDICT r2 #3)
+    intersect_fn, occlude_fn = integrator.make_intersectors(
+        scene, accel, tri_chunk=tri_chunk, fused2_block=fused2_block
+    )
     return integrator.sample_sum(
         scene, settings, pixel_xy, rng_state, num_samples, intersect_fn, enable_textures,
         lights=lights, occlude_fn=occlude_fn, env_light=env_light,
@@ -147,6 +120,7 @@ def add_samples(
     pixel_chunk: int = 65536,
     tri_chunk: int = 512,
     accel=None,
+    fused2_block: int | None = None,
 ) -> Film:
     """Accumulate ``num_samples`` more spp into the film (pixel-chunked)."""
     enable_textures = scene_has_textures(scene)
@@ -185,6 +159,7 @@ def add_samples(
             accel,
             lights,
             env_light,
+            fused2_block=fused2_block,
         )
         s = np.asarray(s)[: hi - lo]
         r = np.asarray(r)[: hi - lo]

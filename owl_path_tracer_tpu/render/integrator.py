@@ -563,11 +563,15 @@ def make_brute_occluder(scene: Scene, tri_chunk: int = 512) -> Callable:
     return occlude
 
 
-def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: int | None = None):
+def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: int | None = None,
+                      fused2_sort: bool = False):
     """Accel -> (intersect_fn, occlude_fn) dispatch shared by every renderer
     (film, wavefront, sharded).  ``accel=None`` selects the brute sweep.
     ``fused2_block`` overrides the fused2 kernel's rays-per-block (coherent
-    waves favor 256, incoherent 128)."""
+    waves favor 256, incoherent 128).  ``fused2_sort`` sorts each wave by a
+    spatial-directional key before the kernel -- a win when the wave mixes
+    incoherent bounce rays (mid-frame dragon waves), a small loss on purely
+    coherent primaries."""
     from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
     from ..ops.fused import FusedBVH, fused_occluded, make_fused_intersector
     from ..ops.fused2 import BLOCK_RAYS, Fused2BVH, fused2_occluded, make_fused2_intersector
@@ -576,8 +580,10 @@ def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: i
     if isinstance(accel, Fused2BVH):
         blk = fused2_block or BLOCK_RAYS
         return (
-            make_fused2_intersector(accel, block=blk),
-            lambda p, d, dist: fused2_occluded(p, d, accel, t_max=dist, block=blk),
+            make_fused2_intersector(accel, block=blk, sort=fused2_sort),
+            lambda p, d, dist: fused2_occluded(
+                p, d, accel, t_max=dist, block=blk, sort=fused2_sort
+            ),
         )
     if isinstance(accel, FusedBVH):
         return (

@@ -82,6 +82,7 @@ def wavefront_step(
     lights=None,
     occlude_fn: Callable | None = None,
     env_light=None,
+    film_mode: str = "auto",
 ) -> PoolState:
     """One bounce for every lane + regeneration of finished lanes.
 
@@ -161,7 +162,12 @@ def wavefront_step(
         spp = settings.max_samples
         w_win = ((settings.max_path_depth + 2) * lanes // spp + 2 + 127) // 128 * 128
         contrib = jnp.where(path_done[:, None], ps.result, 0.0)  # [L,3]
-        if w_win <= min(16384, n_pix):
+        use_window = w_win <= min(16384, n_pix)
+        if film_mode == "scatter":
+            use_window = False
+        elif film_mode == "window":
+            use_window = True
+        if use_window:
             base = jnp.min(jnp.where(path_done, st.pixel, jnp.int32(2**30)))
             base = jnp.clip(base, 0, n_pix - w_win)
             rel = st.pixel - base
@@ -228,18 +234,19 @@ def wavefront_step(
     )
 
 
-@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters", "fused2_block"))
-def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None):
+@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters", "fused2_block", "film_mode", "fused2_sort"))
+def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None, film_mode="auto", fused2_sort=False):
     """``iters`` wavefront steps.  ``work_hi`` is traced (per-shard bound when
     the pool runs under shard_map); accel dispatch is by python type."""
     intersect_fn, occlude_fn = integrator.make_intersectors(
-        scene, accel, fused2_block=fused2_block
+        scene, accel, fused2_block=fused2_block, fused2_sort=fused2_sort
     )
 
     def body(st, _):
         return wavefront_step(
             scene, settings, st, intersect_fn, enable_textures, work_hi,
             lights=lights, occlude_fn=occlude_fn, env_light=env_light,
+            film_mode=film_mode,
         ), None
 
     st, _ = jax.lax.scan(body, st, None, length=iters)
@@ -262,6 +269,8 @@ def render_image_wavefront(
     max_launches: int = 1000,
     strided: bool = False,
     fused2_block: int | None = None,
+    film_mode: str = "auto",
+    fused2_sort: bool = False,
 ) -> tuple:
     """Full-frame render via the persistent pool.
 
@@ -305,6 +314,7 @@ def render_image_wavefront(
         st, status = _run_chunk(
             scene, settings, st, accel, enable_textures, jnp.int32(total_work),
             iters_per_launch, lights, env_light, fused2_block=fused2_block,
+            film_mode=film_mode, fused2_sort=fused2_sort,
         )
         if prev_status is not None:
             ps = np.asarray(prev_status)

@@ -137,6 +137,14 @@ def run_sweep(args) -> list:
 
 
 def _render(scene, rset, args, accel):
+    if args.renderer == "wavefront":
+        from ..render.wavefront import render_image_wavefront
+
+        img, _rays = render_image_wavefront(
+            scene, rset, accel=accel, lanes=args.lanes,
+            fused2_block=args.fused2_block,
+        )
+        return img
     return film_mod.render_image(scene, rset, pixel_chunk=args.pixel_chunk, accel=accel)
 
 
@@ -151,10 +159,22 @@ def main(argv=None):
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--size", type=int, default=None, help="square buffer override")
     ap.add_argument(
-        "--intersector", choices=["brute", "bvh", "cluster"], default="cluster"
+        "--intersector",
+        choices=["brute", "bvh", "cluster", "fused", "fused2"],
+        default="cluster",
+        help="fused2 = production single-kernel Pallas traversal",
     )
-    ap.add_argument("--cluster-size", type=int, default=128)
+    ap.add_argument("--cluster-size", type=int, default=None,
+                    help="tris per cluster (default: 128; 512 for fused2)")
     ap.add_argument("--pixel-chunk", type=int, default=65536)
+    ap.add_argument(
+        "--renderer", choices=["scan", "wavefront"], default="scan",
+        help="wavefront = persistent-pool path regeneration (production/benchmark path)",
+    )
+    ap.add_argument("--lanes", type=int, default=131072,
+                    help="wavefront pool size (lanes)")
+    ap.add_argument("--fused2-block", type=int, default=None,
+                    help="rays per fused2 kernel block (default ops/fused2.BLOCK_RAYS)")
     ap.add_argument("--nee", action="store_true", help="next-event estimation + MIS")
     ap.add_argument("--no-sweep", action="store_true", help="single frame, ignore test block")
     args = ap.parse_args(argv)
