@@ -465,23 +465,25 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                     better, wcol.astype(jnp.float32), best_ref[:, 8:9]
                 )
                 if fetch_attrs:
-                    # winner payload folded in RIGHT HERE: 16 one-hot row
-                    # selects over the pipelined [16,C] attr buffer.  Exact
-                    # (no matmul rounding), ~48 [B,C] VPU passes that hide
-                    # under the next iteration's MXU MT matmul -- and no
-                    # serial post-loop replay paying a cold DMA per winner.
+                    # winner payload folded in RIGHT HERE as ONE MXU matmul:
+                    # attr[b,r] = sum_c onehot[b,c] * abuf[r,c], i.e.
+                    # dot_general([B,C],[16,C]) contracting C.  Exact despite
+                    # the MXU: each output row has exactly one nonzero term
+                    # (onehot is 0/1), and the f32 matmul's 3-way bf16
+                    # mantissa split reconstructs a single product exactly.
+                    # The 16-row one-hot VPU fold this replaces measured
+                    # +83 ms/wave on incoherent bounce waves -- it DOUBLED
+                    # traversal cost (tools/tpu_probe3.py, round 3).
                     pltpu.make_async_copy(
                         attrs_ref.at[c_cur], abuf_ref.at[slot], asem.at[slot]
                     ).wait()
-                    oh_b = onehot & better
-                    for r in range(ATTR_ROWS):
-                        val = jnp.sum(
-                            jnp.where(oh_b, abuf_ref[slot, r : r + 1, :], 0.0),
-                            axis=-1, keepdims=True,
-                        )
-                        attr_ref[:, r : r + 1] = jnp.where(
-                            better, val, attr_ref[:, r : r + 1]
-                        )
+                    oh_b = jnp.where(onehot & better, 1.0, 0.0)  # [B,C]
+                    val = jax.lax.dot_general(
+                        oh_b, abuf_ref[slot],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [B,16]
+                    attr_ref[:, :] = jnp.where(better, val, attr_ref[:, :])
             # block-level clusters-retired counter (diagnostic)
             best_ref[:, 6:7] = best_ref[:, 6:7] + 1.0
 
