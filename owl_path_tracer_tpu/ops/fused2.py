@@ -46,6 +46,9 @@ from .cluster import ClusterBVH, build_clusters, cluster_closest_hit
 from .intersect import HitRecord, mt_components
 
 BLOCK_RAYS = 128
+# clusters retired per loop iteration (the loop is latency-bound at ~2.5 us
+# per iteration; W-wide groups amortize that over W clusters -- see _kernel)
+FANOUT = 2
 # retirement-loop bound: a real while_loop exits as soon as a block is done,
 # so a generous bound costs nothing in the typical case and keeps pathological
 # (fully incoherent) blocks off the whole-wave exact-fallback path
@@ -218,20 +221,7 @@ def _default_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _pick_block(bent, pmax, k, col_k1):
-    """Scalar id of the block's nearest still-needed cluster (k = none).
-
-    ``bent`` is the [1,K] block frontier (min entry over the block's rays);
-    ``pmax`` the block prune bound (max over rays of their per-ray prune t).
-    ~3 passes over [1,K] -- the per-ray [B,K] pick this replaces cost ~8
-    passes over a matrix B x bigger every retirement (docs/PERF.md round 2).
-    """
-    mn = jnp.min(bent)  # scalar
-    cid = jnp.min(jnp.where((bent == mn) & (mn < pmax), col_k1, k))
-    return cid  # scalar
-
-
-def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
+def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout,
             rays_ref, boxes_ref, planes_ref, attrs_ref, out_ref,
             bent_ref, buf_ref, abuf_ref, best_ref, attr_ref, sem, asem, ctl_ref):
     rays = rays_ref[0]  # [B,8]
@@ -298,8 +288,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     attr_ref[:, :] = jnp.zeros((b, 16), jnp.float32)
     fetch_attrs = with_attrs and not any_hit
 
+    cc = c * fanout  # triangle columns intersected per loop iteration
+    gc = (4 * c) if mxu else c  # plane columns per cluster
     col_k1 = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    col_c = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    col_cc = jax.lax.broadcasted_iota(jnp.int32, (b, cc), 1)
 
     # block prune bound: a cluster is worth visiting iff its nearest entry
     # over the block beats SOME ray's prune t (conservative block-level
@@ -312,16 +304,86 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
             )
         return jnp.max(best_ref[:, 0:1])
 
-    # ── warm-up: pick + prefetch the first cluster into slot 0 ──
-    c0 = _pick_block(bent_ref[:, :], block_pmax(), k, col_k1)
-    ctl_ref[0] = jnp.where(c0 < k, 0, 1)  # done flag
-    ctl_ref[1] = c0  # slot-0 cluster id
+    # ── fanout>1: retire up to ``fanout`` clusters per loop iteration.  The
+    # loop is LATENCY-bound (~2.5 us/iteration of pick/DMA-wait/scalar control
+    # measured round 3, tools/tpu_probe3.py max_steps sweep) while the MT
+    # matmul is MXU-cheap, so W-wide groups cut incoherent-block time ~W x.
+    # Group members 2..W skip the prune-update a sequential retirement would
+    # apply between them -- harmless when the block's rays need mostly
+    # disjoint clusters (the incoherent case fanout exists for). ──
+    def pick_group(bent, pmax):
+        """Up to ``fanout`` nearest still-needed cluster ids (k = none)."""
+        ids = []
+        cur = bent
+        for _ in range(fanout):
+            mn = jnp.min(cur)
+            cid = jnp.min(jnp.where((cur == mn) & (mn < pmax), col_k1, k))
+            ids.append(cid)
+            if fanout > 1:
+                cur = jnp.where(col_k1 == cid, jnp.inf, cur)
+        return ids
 
-    @pl.when(c0 < k)
-    def _():
-        pltpu.make_async_copy(planes_ref.at[c0], buf_ref.at[0], sem.at[0]).start()
-        if fetch_attrs:
-            pltpu.make_async_copy(attrs_ref.at[c0], abuf_ref.at[0], asem.at[0]).start()
+    def store_group(slot_static, ids):
+        for j, cid in enumerate(ids):
+            ctl_ref[1 + slot_static * fanout + j] = cid
+
+    def load_group(slot):
+        """Group ids of a TRACED slot index (select between both stores)."""
+        return [
+            jnp.where(
+                slot == 0, ctl_ref[1 + j], ctl_ref[1 + fanout + j]
+            )
+            for j in range(fanout)
+        ]
+
+    def start_dmas(slot, ids):
+        for j, cid in enumerate(ids):
+            @pl.when(cid < k)
+            def _(cid=cid, j=j):
+                pltpu.make_async_copy(
+                    planes_ref.at[cid],
+                    buf_ref.at[slot, :, j * gc : (j + 1) * gc],
+                    sem.at[slot, j],
+                ).start()
+                if fetch_attrs:
+                    pltpu.make_async_copy(
+                        attrs_ref.at[cid],
+                        abuf_ref.at[slot, :, j * c : (j + 1) * c],
+                        asem.at[slot, j],
+                    ).start()
+
+    def wait_dmas(slot, ids):
+        for j, cid in enumerate(ids):
+            @pl.when(cid < k)
+            def _(cid=cid, j=j):
+                pltpu.make_async_copy(
+                    planes_ref.at[cid],
+                    buf_ref.at[slot, :, j * gc : (j + 1) * gc],
+                    sem.at[slot, j],
+                ).wait()
+                if fetch_attrs:
+                    pltpu.make_async_copy(
+                        attrs_ref.at[cid],
+                        abuf_ref.at[slot, :, j * c : (j + 1) * c],
+                        asem.at[slot, j],
+                    ).wait()
+
+    def group_col_mask(ids):
+        """[1,cc] bool: columns whose cluster slot actually holds fresh data
+        (a skipped DMA leaves STALE planes from an earlier group there)."""
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.reshape(cid < k, (1, 1)), (1, c))
+                for cid in ids
+            ],
+            axis=1,
+        )
+
+    # ── warm-up: pick + prefetch the first group into slot 0 ──
+    g0 = pick_group(bent_ref[:, :], block_pmax())
+    ctl_ref[0] = jnp.where(g0[0] < k, 0, 1)  # done flag
+    store_group(0, g0)
+    start_dmas(0, g0)
 
     # ── pipelined retirement loop: pick+prefetch next, intersect current ──
     # A real while_loop, NOT a fixed-trip fori with a skip flag: a skipped
@@ -343,7 +405,8 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
             # Re-running the (cheap) slab test with each ray's own best t as
             # cap every 8 retirements restores per-ray pruning semantics with
             # bounded lag; already-retired clusters stay retired.
-            @pl.when(jax.lax.rem(i, 8) == 7)
+            refresh_p = max(1, 8 // fanout)  # ~every 8 retired clusters
+            @pl.when(jax.lax.rem(i, refresh_p) == refresh_p - 1)
             def _():
                 if any_hit:
                     cap = jnp.where(
@@ -357,45 +420,49 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                 )
 
             slot = jax.lax.rem(i, 2)
-            nslot = 1 - slot
-            c_cur = jnp.where(slot == 0, ctl_ref[1], ctl_ref[2])
-            bent = bent_ref[:, :]
-            bent_x = jnp.where(col_k1 == c_cur, jnp.inf, bent)  # retire current
+            cur_ids = load_group(slot)
+            bent_x = bent_ref[:, :]
+            for cid in cur_ids:  # retire the current group
+                bent_x = jnp.where(col_k1 == cid, jnp.inf, bent_x)
 
-            cn = _pick_block(bent_x, block_pmax(), k, col_k1)
-            have_n = cn < k
+            nxt = pick_group(bent_x, block_pmax())
+            have_n = nxt[0] < k
 
-            @pl.when(have_n & (slot == 0))
+            @pl.when(slot == 0)
             def _():
-                ctl_ref[2] = cn
+                store_group(1, nxt)
 
-            @pl.when(have_n & (slot == 1))
+            @pl.when(slot == 1)
             def _():
-                ctl_ref[1] = cn
+                store_group(0, nxt)
 
-            @pl.when(have_n)
-            def _():
-                pltpu.make_async_copy(
-                    planes_ref.at[cn], buf_ref.at[nslot], sem.at[nslot]
-                ).start()
-                if fetch_attrs:
-                    pltpu.make_async_copy(
-                        attrs_ref.at[cn], abuf_ref.at[nslot], asem.at[nslot]
-                    ).start()
-
-            pltpu.make_async_copy(
-                planes_ref.at[c_cur], buf_ref.at[slot], sem.at[slot]
-            ).wait()
+            start_dmas(1 - slot, nxt)
+            wait_dmas(slot, cur_ids)
+            fresh_cols = group_col_mask(cur_ids)  # [1,cc]
             if mxu:
-                pb = buf_ref[slot]  # [16,4C] feature matrix
-                tid = pb[10:11, 0:c]
+                pb = buf_ref[slot]  # [16, fanout*4C] feature matrix
+                # ONE matmul over the whole group, then de-interleave the
+                # det|u|v|t column groups of each cluster (static slices)
                 out4 = jnp.dot(rfeat, pb, preferred_element_type=jnp.float32)
-                det = out4[:, 0:c]
+
+                def degroup(mat, g):
+                    if fanout == 1:
+                        return mat[:, g * c : (g + 1) * c]
+                    return jnp.concatenate(
+                        [
+                            mat[:, j * 4 * c + g * c : j * 4 * c + (g + 1) * c]
+                            for j in range(fanout)
+                        ],
+                        axis=1,
+                    )  # [B, cc]
+
+                tid = degroup(pb[10:11], 0)
+                det = degroup(out4, 0)
                 sgn = jnp.where(det < 0.0, -1.0, 1.0)
                 dd = det * sgn  # |det|
-                ua = out4[:, c : 2 * c] * sgn  # u*|det|
-                vb = out4[:, 2 * c : 3 * c] * sgn  # v*|det|
-                tcd = out4[:, 3 * c : 4 * c] * sgn  # t*|det|
+                ua = degroup(out4, 1) * sgn  # u*|det|
+                vb = degroup(out4, 2) * sgn  # v*|det|
+                tcd = degroup(out4, 3) * sgn  # t*|det|
                 ok = (
                     (dd >= 1e-12)
                     & (ua >= 0.0)
@@ -404,9 +471,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                     & (tcd > dd * t_min)
                     & (tcd < dd * best_ref[:, 0:1])
                     & (tid >= 0.0)
+                    & fresh_cols
                 )
             else:
-                pb = buf_ref[slot]  # [16,C]
+                pb = buf_ref[slot]  # [16,C] (fanout==1 only)
                 tid = pb[9:10, :]
                 t, u, v, ok = mt_components(
                     (ox, oy, oz), (dx, dy, dz),
@@ -415,7 +483,7 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                     (pb[6:7, :], pb[7:8, :], pb[8:9, :]),
                     t_min, best_ref[:, 0:1],
                 )
-                ok &= tid >= 0.0
+                ok &= (tid >= 0.0) & fresh_cols
 
             if any_hit:
                 got = jnp.max(
@@ -436,9 +504,9 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                     t = jnp.where(ok, t, jnp.inf)
                 tc = jnp.min(t, axis=-1, keepdims=True)  # [B,1]
                 wcol = jnp.min(
-                    jnp.where(t == tc, col_c, c), axis=-1, keepdims=True
+                    jnp.where(t == tc, col_cc, cc), axis=-1, keepdims=True
                 )
-                onehot = col_c == wcol
+                onehot = col_cc == wcol
                 better = tc < best_ref[:, 0:1]
                 pick = lambda x: jnp.sum(
                     jnp.where(onehot, x, 0.0), axis=-1, keepdims=True
@@ -455,14 +523,18 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                 best_ref[:, 1:2] = jnp.where(better, u, best_ref[:, 1:2])
                 best_ref[:, 2:3] = jnp.where(better, v, best_ref[:, 2:3])
                 best_ref[:, 3:4] = jnp.where(
-                    better, pick(jnp.broadcast_to(tid, (b, c))), best_ref[:, 3:4]
+                    better, pick(jnp.broadcast_to(tid, (b, cc))), best_ref[:, 3:4]
                 )
                 best_ref[:, 4:5] = jnp.where(better, 1.0, best_ref[:, 4:5])
-                best_ref[:, 7:8] = jnp.where(
-                    better, c_cur.astype(jnp.float32), best_ref[:, 7:8]
-                )
+                # winner cluster id: map the winning column's group slot back
+                # to that slot's cluster id (scalar broadcasts)
+                wgroup = wcol // c  # [B,1]
+                wcid = jnp.zeros((b, 1), jnp.float32)
+                for j, cid in enumerate(cur_ids):
+                    wcid = jnp.where(wgroup == j, cid.astype(jnp.float32), wcid)
+                best_ref[:, 7:8] = jnp.where(better, wcid, best_ref[:, 7:8])
                 best_ref[:, 8:9] = jnp.where(
-                    better, wcol.astype(jnp.float32), best_ref[:, 8:9]
+                    better, (wcol % c).astype(jnp.float32), best_ref[:, 8:9]
                 )
                 if fetch_attrs:
                     # winner payload folded in RIGHT HERE as ONE MXU matmul:
@@ -474,10 +546,8 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                     # The 16-row one-hot VPU fold this replaces measured
                     # +83 ms/wave on incoherent bounce waves -- it DOUBLED
                     # traversal cost (tools/tpu_probe3.py, round 3).
-                    pltpu.make_async_copy(
-                        attrs_ref.at[c_cur], abuf_ref.at[slot], asem.at[slot]
-                    ).wait()
-                    oh_b = jnp.where(onehot & better, 1.0, 0.0)  # [B,C]
+                    # (group attr DMAs already waited in wait_dmas)
+                    oh_b = jnp.where(onehot & better, 1.0, 0.0)  # [B,cc]
                     val = jax.lax.dot_general(
                         oh_b, abuf_ref[slot],
                         (((1,), (1,)), ((), ())),
@@ -485,7 +555,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
                     )  # [B,16]
                     attr_ref[:, :] = jnp.where(better, val, attr_ref[:, :])
             # block-level clusters-retired counter (diagnostic)
-            best_ref[:, 6:7] = best_ref[:, 6:7] + 1.0
+            n_ret = jnp.zeros((), jnp.float32)
+            for cid in cur_ids:
+                n_ret = n_ret + jnp.where(cid < k, 1.0, 0.0)
+            best_ref[:, 6:7] = best_ref[:, 6:7] + n_ret
 
             bent_ref[:, :] = bent_x
         return (i + 1, jnp.where(have_n, 0, 1))
@@ -495,18 +568,11 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     )
     ctl_ref[0] = fin_done
 
-    # max_steps overflow exit leaves one prefetched DMA in flight: drain it
+    # max_steps overflow exit leaves one prefetched group in flight: drain it
     @pl.when(fin_done == 0)
     def _():
         slot = jax.lax.rem(fin_i, 2)
-        c_pend = jnp.where(slot == 0, ctl_ref[1], ctl_ref[2])
-        pltpu.make_async_copy(
-            planes_ref.at[c_pend], buf_ref.at[slot], sem.at[slot]
-        ).wait()
-        if fetch_attrs:
-            pltpu.make_async_copy(
-                attrs_ref.at[c_pend], abuf_ref.at[slot], asem.at[slot]
-            ).wait()
+        wait_dmas(slot, load_group(slot))
 
     # unresolved check (max_steps overflow only): any remaining frontier
     # candidate nearer than the block prune bound taints the WHOLE block --
@@ -519,11 +585,11 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu,
     out_ref[0, :, 16:32] = attr_ref[:, :]
 
 
-@partial(jax.jit, static_argnames=("interpret", "block", "max_steps", "with_attrs", "any_hit"))
+@partial(jax.jit, static_argnames=("interpret", "block", "max_steps", "with_attrs", "any_hit", "fanout"))
 def fused2_traverse(
     ray_o, ray_d, t_max, fb: Fused2BVH,
     interpret: bool | None = None, block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
-    with_attrs: bool = True, any_hit: bool = False,
+    with_attrs: bool = True, any_hit: bool = False, fanout: int = FANOUT,
 ):
     """Raw kernel sweep: [N] rays -> [N,32].
 
@@ -534,6 +600,8 @@ def fused2_traverse(
     if interpret is None:
         interpret = _default_interpret()
     mxu = fb.mxu
+    if not mxu:
+        fanout = 1  # legacy component layout supports single-cluster groups only
     # traversal is not differentiable (Pallas kernel); hit records are
     # parameter-independent for material/env gradients, so detach rays and
     # results -- camera/geometry gradients need the cluster/brute traversal
@@ -553,7 +621,7 @@ def fused2_traverse(
     ).reshape(g, block, 8)
 
     out = pl.pallas_call(
-        partial(_kernel, block, k, c, max_steps, with_attrs, any_hit, mxu),
+        partial(_kernel, block, k, c, max_steps, with_attrs, any_hit, mxu, fanout),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, block, 8), lambda i: (i, 0, 0)),
@@ -565,13 +633,13 @@ def fused2_traverse(
         out_shape=jax.ShapeDtypeStruct((g, block, 32), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, k), jnp.float32),
-            pltpu.VMEM((2, 16, 4 * c if mxu else c), jnp.float32),
-            pltpu.VMEM((2, 16, c), jnp.float32),
+            pltpu.VMEM((2, 16, (4 * c if mxu else c) * fanout), jnp.float32),
+            pltpu.VMEM((2, 16, c * fanout), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, fanout)),
+            pltpu.SemaphoreType.DMA((2, fanout)),
+            pltpu.SMEM((2 + 2 * fanout,), jnp.int32),
         ],
         interpret=interpret,
     )(rays, fb.boxes, fb.planes, fb.attrs)
@@ -622,13 +690,13 @@ def _pad_rays(ray_o, ray_d, t_max, block):
     return ray_o, ray_d, t_max, n
 
 
-@partial(jax.jit, static_argnames=("sort", "interpret", "block", "max_steps", "with_attrs"))
+@partial(jax.jit, static_argnames=("sort", "interpret", "block", "max_steps", "with_attrs", "fanout"))
 def fused2_closest_hit(
     ray_o, ray_d, fb: Fused2BVH,
     t_min: float = m.T_MIN, t_max=m.T_MAX,
     sort: bool = False, interpret: bool | None = None,
     block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
-    with_attrs: bool = True,
+    with_attrs: bool = True, fanout: int = FANOUT,
 ):
     """Exact closest hit + shading payload.
 
@@ -650,14 +718,14 @@ def fused2_closest_hit(
         out = fused2_traverse(
             ray_o_p[perm], ray_d_p[perm], t_max_p[perm], fb,
             interpret=interpret, block=block, max_steps=max_steps,
-            with_attrs=with_attrs,
+            with_attrs=with_attrs, fanout=fanout,
         )
         out = out[jnp.argsort(perm)]
     else:
         out = fused2_traverse(
             ray_o_p, ray_d_p, t_max_p, fb,
             interpret=interpret, block=block, max_steps=max_steps,
-            with_attrs=with_attrs,
+            with_attrs=with_attrs, fanout=fanout,
         )
     out = out[:n0]
 
@@ -692,11 +760,11 @@ def fused2_closest_hit(
     return HitRecord(t=t, tri=tri, uv=uv), blob
 
 
-@partial(jax.jit, static_argnames=("sort", "interpret", "block", "max_steps"))
+@partial(jax.jit, static_argnames=("sort", "interpret", "block", "max_steps", "fanout"))
 def fused2_occluded(
     ray_o, ray_d, fb: Fused2BVH, t_min: float = m.T_MIN, t_max=m.T_MAX,
     sort: bool = False, interpret: bool | None = None,
-    block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
+    block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS, fanout: int = FANOUT,
 ):
     """True any-hit occlusion: first valid hit retires the ray
     (TERMINATE_ON_FIRST_HIT semantics, device.cu:106-107)."""
@@ -709,14 +777,14 @@ def fused2_occluded(
         out = fused2_traverse(
             ray_o_p[perm], ray_d_p[perm], t_max_p[perm], fb,
             interpret=interpret, block=block, max_steps=max_steps,
-            with_attrs=False, any_hit=True,
+            with_attrs=False, any_hit=True, fanout=fanout,
         )
         out = out[jnp.argsort(perm)]
     else:
         out = fused2_traverse(
             ray_o_p, ray_d_p, t_max_p, fb,
             interpret=interpret, block=block, max_steps=max_steps,
-            with_attrs=False, any_hit=True,
+            with_attrs=False, any_hit=True, fanout=fanout,
         )
     out = out[:n0]
     hit = out[:, 4] > 0.0

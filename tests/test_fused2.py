@@ -138,3 +138,23 @@ def test_mxu_variant_matches_component(setup):
     occ_a = f2.fused2_occluded(o, d, fb, interpret=True)
     occ_b = f2.fused2_occluded(o, d, fbm, interpret=True)
     assert (np.asarray(occ_a) == np.asarray(occ_b)).mean() > 0.995
+
+
+@pytest.mark.parametrize("fanout", [1, 2, 4])
+def test_fanout_widths_agree(setup, fanout):
+    """W-wide retirement groups (fanout) are an efficiency knob only: winner
+    triangles, t, payloads, and occlusion must not depend on W."""
+    fb, verts, idx, o, d, r = setup
+    normals = np.asarray(fb.attr_table)[:, 0:3]  # unused; rebuild with attrs
+    fbm = f2.build_fused2(
+        verts, idx, cluster_size=64, mxu=True,
+        tri_mat=r.integers(0, 5, len(idx)).astype(np.int32),
+    )
+    base, blob_base = f2.fused2_closest_hit(o, d, fbm, interpret=True, fanout=1)
+    rec, blob = f2.fused2_closest_hit(o, d, fbm, interpret=True, fanout=fanout)
+    np.testing.assert_array_equal(np.asarray(rec.tri), np.asarray(base.tri))
+    np.testing.assert_array_equal(np.asarray(rec.t), np.asarray(base.t))
+    np.testing.assert_array_equal(np.asarray(blob), np.asarray(blob_base))
+    occ1 = f2.fused2_occluded(o, d, fbm, interpret=True, fanout=1)
+    occw = f2.fused2_occluded(o, d, fbm, interpret=True, fanout=fanout)
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occw))
