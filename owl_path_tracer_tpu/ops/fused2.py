@@ -548,8 +548,13 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout,
                     # traversal cost (tools/tpu_probe3.py, round 3).
                     # (group attr DMAs already waited in wait_dmas)
                     oh_b = jnp.where(onehot & better, 1.0, 0.0)  # [B,cc]
+                    # a skipped DMA (invalid group slot) leaves UNINITIALIZED
+                    # payload columns; 0 * NaN = NaN survives the matmul SUM,
+                    # so zero stale columns first (the old where-fold masked
+                    # this implicitly)
+                    ab = jnp.where(fresh_cols, abuf_ref[slot], 0.0)
                     val = jax.lax.dot_general(
-                        oh_b, abuf_ref[slot],
+                        oh_b, ab,
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # [B,16]

@@ -564,7 +564,7 @@ def make_brute_occluder(scene: Scene, tri_chunk: int = 512) -> Callable:
 
 
 def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: int | None = None,
-                      fused2_sort: bool = False):
+                      fused2_sort: bool = False, fused2_fanout: int | None = None):
     """Accel -> (intersect_fn, occlude_fn) dispatch shared by every renderer
     (film, wavefront, sharded).  ``accel=None`` selects the brute sweep.
     ``fused2_block`` overrides the fused2 kernel's rays-per-block (coherent
@@ -578,11 +578,14 @@ def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: i
     from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
 
     if isinstance(accel, Fused2BVH):
+        from ..ops.fused2 import FANOUT
+
         blk = fused2_block or BLOCK_RAYS
+        fo = fused2_fanout or FANOUT
         return (
-            make_fused2_intersector(accel, block=blk, sort=fused2_sort),
+            make_fused2_intersector(accel, block=blk, sort=fused2_sort, fanout=fo),
             lambda p, d, dist: fused2_occluded(
-                p, d, accel, t_max=dist, block=blk, sort=fused2_sort
+                p, d, accel, t_max=dist, block=blk, sort=fused2_sort, fanout=fo
             ),
         )
     if isinstance(accel, FusedBVH):

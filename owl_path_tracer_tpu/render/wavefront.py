@@ -234,12 +234,13 @@ def wavefront_step(
     )
 
 
-@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters", "fused2_block", "film_mode", "fused2_sort"))
-def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None, film_mode="auto", fused2_sort=False):
+@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters", "fused2_block", "film_mode", "fused2_sort", "fused2_fanout"))
+def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None, film_mode="auto", fused2_sort=False, fused2_fanout=None):
     """``iters`` wavefront steps.  ``work_hi`` is traced (per-shard bound when
     the pool runs under shard_map); accel dispatch is by python type."""
     intersect_fn, occlude_fn = integrator.make_intersectors(
-        scene, accel, fused2_block=fused2_block, fused2_sort=fused2_sort
+        scene, accel, fused2_block=fused2_block, fused2_sort=fused2_sort,
+        fused2_fanout=fused2_fanout,
     )
 
     def body(st, _):
@@ -271,6 +272,7 @@ def render_image_wavefront(
     fused2_block: int | None = None,
     film_mode: str = "auto",
     fused2_sort: bool = False,
+    fused2_fanout: int | None = None,
 ) -> tuple:
     """Full-frame render via the persistent pool.
 
@@ -315,6 +317,7 @@ def render_image_wavefront(
             scene, settings, st, accel, enable_textures, jnp.int32(total_work),
             iters_per_launch, lights, env_light, fused2_block=fused2_block,
             film_mode=film_mode, fused2_sort=fused2_sort,
+            fused2_fanout=fused2_fanout,
         )
         if prev_status is not None:
             ps = np.asarray(prev_status)

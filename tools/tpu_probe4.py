@@ -62,7 +62,7 @@ def probe_frame(args):
         st, status = wf._run_chunk(
             scene, settings, st, fb, False, jnp.int32(total_work), iters,
             None, None, fused2_block=args.block, film_mode=args.film,
-            fused2_sort=args.sort,
+            fused2_sort=args.sort, fused2_fanout=args.fanout,
         )
         s = np.asarray(status)  # sync
         times.append(time.time() - t0)
@@ -76,7 +76,7 @@ def probe_frame(args):
     times = np.asarray(times)
     print(json.dumps({
         "probe": "frame", "film": args.film, "lanes": lanes,
-        "sort": args.sort,
+        "sort": args.sort, "fanout": args.fanout,
         "iters_per_launch": iters, "block": args.block,
         "launches": len(times), "frame_s": round(frame_s, 2),
         "rays": int(st.rays),
@@ -235,6 +235,7 @@ def main():
     ap.add_argument("--block", type=int, default=256)
     ap.add_argument("--film", default="auto")
     ap.add_argument("--sort", action="store_true")
+    ap.add_argument("--fanout", type=int, default=None)
     ap.add_argument("--launches", type=int, default=0, help="0 = run to completion")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
