@@ -37,7 +37,53 @@ class MeshData:
     has_texcoords: bool = False
 
 
-def load_obj(path) -> List[Tuple[str, MeshData]]:
+def load_obj(path, cache: bool = True) -> List[Tuple[str, MeshData]]:
+    """Parse an OBJ file into per-object meshes.
+
+    Large OBJs (the 1.3M-tri dragon8) take minutes in the Python parser, so
+    the parsed arrays are cached next to the file as ``{path}.meshcache.npz``
+    keyed on the OBJ's mtime+size (the reference has no analog -- it re-parses
+    via tinyobjloader every run, application.cpp:164)."""
+    import os
+
+    cpath = str(path) + ".meshcache.npz"
+    if cache:
+        try:
+            st = os.stat(path)
+            z = np.load(cpath, allow_pickle=False)
+            if float(z["mtime"]) == st.st_mtime and int(z["size"]) == st.st_size:
+                out = []
+                for i in range(int(z["n"])):
+                    out.append((str(z[f"name{i}"]), MeshData(
+                        name=str(z[f"name{i}"]),
+                        vertices=z[f"v{i}"], indices=z[f"i{i}"],
+                        normals=z[f"n{i}"], texcoords=z[f"t{i}"],
+                        has_normals=bool(z[f"hn{i}"]),
+                        has_texcoords=bool(z[f"ht{i}"]),
+                    )))
+                return out
+        except (OSError, KeyError, ValueError):
+            pass
+    meshes = _load_obj_uncached(path)
+    if cache:
+        try:
+            st = os.stat(path)
+            payload = {"mtime": st.st_mtime, "size": st.st_size, "n": len(meshes)}
+            for i, (name, md) in enumerate(meshes):
+                payload[f"name{i}"] = name
+                payload[f"v{i}"] = md.vertices
+                payload[f"i{i}"] = md.indices
+                payload[f"n{i}"] = md.normals
+                payload[f"t{i}"] = md.texcoords
+                payload[f"hn{i}"] = md.has_normals
+                payload[f"ht{i}"] = md.has_texcoords
+            np.savez(cpath, **payload)
+        except OSError:
+            pass
+    return meshes
+
+
+def _load_obj_uncached(path) -> List[Tuple[str, MeshData]]:
     """Parse an OBJ file into per-object meshes (numpy reference path)."""
     verts: List[Tuple[float, float, float]] = []
     norms: List[Tuple[float, float, float]] = []
