@@ -53,7 +53,7 @@ def run_config(args, scene_name, size, spp, depth, nee=False):
 
         kw = dict(
             accel=accel, lanes=args.lanes, fused2_block=args.fused2_block,
-            fused2_sort=not args.no_sort,
+            fused2_sort=not args.no_sort, readback_f16=True,
         )
         # warm-up/compile with the IDENTICAL static config (spp is static in
         # the jitted chunk, so a different-spp warm-up would not prime the

@@ -684,21 +684,42 @@ def _morton3(x, y, z, bits: int = 4):
     return key
 
 
+# sort-key resolution (module constants so probes can ablate per process;
+# jit caches are NOT invalidated by changing these at runtime).  5 origin
+# bits/axis measured ~5% faster full-frame than 4 (tools/tpu_probe4 round 3):
+# finer origin cells pack bounce rays from smaller surface patches together.
+SORT_O_BITS = 5  # origin Morton bits per axis
+SORT_D_BITS = 3  # direction bits per axis
+
+
 def ray_sort_keys(ray_o, ray_d, bounds) -> jnp.ndarray:
-    """Coherence key: 12-bit origin Morton cell + 9-bit direction cell.
+    """Coherence key: origin Morton cell (major) + direction cell (minor).
 
     Sorting a wave by this key (STABLY, so spawn-order coherence survives
     ties) packs rays that will walk the same clusters into the same 128-ray
     kernel block -- the block-dedup retirement loop then runs ~union-of-
     clusters-per-block times, which coherence makes small.
     """
+    ob, db = SORT_O_BITS, SORT_D_BITS
     lo = bounds[0]
     ext = jnp.maximum(bounds[1] - bounds[0], 1e-6)
-    q = jnp.clip(((ray_o - lo) / ext) * 16.0, 0.0, 15.0).astype(jnp.int32)
-    mk = _morton3(q[:, 0], q[:, 1], q[:, 2], bits=4)
-    dq = jnp.clip((ray_d * 0.5 + 0.5) * 8.0, 0.0, 7.0).astype(jnp.int32)
-    dk = (dq[:, 0] << 6) | (dq[:, 1] << 3) | dq[:, 2]
-    return (mk << 9) | dk
+    cells = float(1 << ob)
+    q = jnp.clip(((ray_o - lo) / ext) * cells, 0.0, cells - 1.0).astype(jnp.int32)
+    mk = _morton3(q[:, 0], q[:, 1], q[:, 2], bits=ob)
+    dcells = float(1 << db)
+    dq = jnp.clip((ray_d * 0.5 + 0.5) * dcells, 0.0, dcells - 1.0).astype(jnp.int32)
+    dk = (dq[:, 0] << (2 * db)) | (dq[:, 1] << db) | dq[:, 2]
+    return (mk << (3 * db)) | dk
+
+
+def _inverse_perm(perm):
+    """inv[perm[i]] = i via ONE scatter -- argsort(perm) re-runs the full
+    O(N log^2 N) bitonic sort per wave just to invert a permutation."""
+    n = perm.shape[0]
+    return jnp.zeros((n,), perm.dtype).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype), unique_indices=True,
+        indices_are_sorted=False,
+    )
 
 
 def _pad_rays(ray_o, ray_d, t_max, block):
@@ -747,7 +768,7 @@ def fused2_closest_hit(
             interpret=interpret, block=block, max_steps=max_steps,
             with_attrs=with_attrs, fanout=fanout,
         )
-        out = out[jnp.argsort(perm)]
+        out = out[_inverse_perm(perm)]
     else:
         out = fused2_traverse(
             ray_o_p, ray_d_p, t_max_p, fb,
@@ -807,7 +828,7 @@ def fused2_occluded(
             interpret=interpret, block=block, max_steps=max_steps,
             with_attrs=False, any_hit=True, fanout=fanout,
         )
-        out = out[jnp.argsort(perm)]
+        out = out[_inverse_perm(perm)]
     else:
         out = fused2_traverse(
             ray_o_p, ray_d_p, t_max_p, fb,

@@ -98,9 +98,22 @@ def wavefront_step(
       Work imbalance averages out over the S items per lane.
     """
     strided = st.acc.ndim == 3  # acc [P,3,L] (lane-minor; see new_pool)
+    # park dead lanes' rays far outside every scene AABB: the traversal
+    # kernel's phase-A frontier comes up empty so parked blocks retire after
+    # zero iterations.  Only matters in the end-of-frame drain (work
+    # exhausted, lanes can't respawn) -- mid-frame occupancy is ~100% -- but
+    # there it turns up-to-32 granularity-tax steps from full traversals
+    # into ~fixed-cost no-ops.  Idempotent: a parked lane re-parks.
+    ray_o_t = jnp.where(st.alive[:, None], st.ray_o, 1e8)
+    # NB: a whole-pool coherence sort (permute every lane array once per
+    # step, kernel sees pre-sorted rays, nothing to unsort) was tried and
+    # MEASURED WORSE than the intersector-internal sort: 15.2 vs 9.6 ms/step
+    # (tpu_probe4 frame, round 3).  Eleven separate lane-array gathers cost
+    # ~5.6 ms -- gather COUNT, not bytes, is the latency bottleneck on this
+    # backend -- vs the intersector's two ([L,8] pack-permute, [L,32] unsort).
     # --- trace one bounce (parity kernel, or NEE/MIS when lights given) ---
     ps = integrator.PathState(
-        ray_o=st.ray_o,
+        ray_o=ray_o_t,
         ray_d=st.ray_d,
         result=st.result,
         throughput=st.throughput,
@@ -161,32 +174,51 @@ def wavefront_step(
         n_pix = settings.width * settings.height
         spp = settings.max_samples
         w_win = ((settings.max_path_depth + 2) * lanes // spp + 2 + 127) // 128 * 128
+        # factorize the window: rel = q*W2 + r, so the [L,W] one-hot matmul
+        # (W~12k -> a multi-GB operand per step) becomes TWO small one-hots
+        # [L,3*W1] x [L,W2] contracted over lanes -- ~30x less HBM traffic
+        # for identical results (each (q,r) output cell sums exactly the
+        # lanes whose rel decomposes to it)
+        w1 = 64
+        w2 = (w_win + w1 - 1) // w1
+        w_pad = w1 * w2
         contrib = jnp.where(path_done[:, None], ps.result, 0.0)  # [L,3]
-        use_window = w_win <= min(16384, n_pix)
+        use_window = w_pad <= min(16384, n_pix)
         if film_mode == "scatter":
             use_window = False
         elif film_mode == "window":
             use_window = True
         if use_window:
             base = jnp.min(jnp.where(path_done, st.pixel, jnp.int32(2**30)))
-            base = jnp.clip(base, 0, n_pix - w_win)
+            base = jnp.clip(base, 0, n_pix - w_pad)
             rel = st.pixel - base
-            onehot = jnp.where(
-                (rel[:, None] == jnp.arange(w_win, dtype=jnp.int32)[None, :])
+            q, r = rel // w2, rel % w2
+            q_oh = jnp.where(
+                q[:, None] == jnp.arange(w1, dtype=jnp.int32)[None, :], 1.0, 0.0
+            )  # [L,W1]
+            r_oh = jnp.where(
+                (r[:, None] == jnp.arange(w2, dtype=jnp.int32)[None, :])
                 & path_done[:, None],
                 1.0,
                 0.0,
-            )  # [L,W]
-            partial = jnp.dot(
-                contrib.T, onehot, preferred_element_type=jnp.float32
-            )  # [3,W]
-            cur = jax.lax.dynamic_slice(st.acc, (base, jnp.int32(0)), (w_win, 3))
-            acc = jax.lax.dynamic_update_slice(st.acc, cur + partial.T, (base, jnp.int32(0)))
+            )  # [L,W2]
+            a2 = (contrib[:, :, None] * q_oh[:, None, :]).reshape(
+                lanes, 3 * w1
+            )  # [L,3*W1]
+            part = jax.lax.dot_general(
+                a2, r_oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [3*W1, W2]
+            win = (
+                part.reshape(3, w1, w2).transpose(1, 2, 0).reshape(w_pad, 3)
+            )
+            cur = jax.lax.dynamic_slice(st.acc, (base, jnp.int32(0)), (w_pad, 3))
+            acc = jax.lax.dynamic_update_slice(st.acc, cur + win, (base, jnp.int32(0)))
             # NaN-retry lanes don't advance depth, so a pathological straggler
             # can outlive the (depth+2)*lanes id-span bound; spill any
             # out-of-window contribution through the exact scatter (the cond
             # branch is never taken in practice and costs nothing)
-            unsafe = path_done & (rel >= w_win)
+            unsafe = path_done & (rel >= w_pad)
             acc = jax.lax.cond(
                 jnp.any(unsafe),
                 lambda a: a.at[st.pixel].add(jnp.where(unsafe[:, None], contrib, 0.0)),
@@ -266,17 +298,25 @@ def render_image_wavefront(
     settings: RenderSettings,
     accel=None,
     lanes: int = 131072,
-    iters_per_launch: int = 16,
+    iters_per_launch: int = 32,
     max_launches: int = 1000,
     strided: bool = False,
     fused2_block: int | None = None,
     film_mode: str = "auto",
     fused2_sort: bool = False,
     fused2_fanout: int | None = None,
+    readback_f16: bool = False,
 ) -> tuple:
     """Full-frame render via the persistent pool.
 
     Returns (image f32 [H,W,3] top-row-first, rays_traced).
+
+    ``iters_per_launch=32`` halves the per-launch host/relay overhead vs 16
+    (measured ~26 ms/launch even pipelined); the coarser drain granularity
+    is nearly free because dead lanes park their rays outside the scene.
+    ``readback_f16`` downcasts the film on-device before the host readback --
+    the 12 MB f32 film costs ~490 ms over the relay (tools/tpu_probe5.py);
+    f16 halves it at ~1e-3 relative image error (display-bound use only).
     """
     from .film import scene_has_textures
 
@@ -325,7 +365,10 @@ def render_image_wavefront(
                 break
         prev_status = status
 
-    acc = np.asarray(st.acc)
+    if readback_f16:
+        acc = np.asarray(st.acc.astype(jnp.float16)).astype(np.float32)
+    else:
+        acc = np.asarray(st.acc)
     if acc.ndim == 3:  # [P,3,L] -> [L*P, 3] in pixel order
         acc = np.transpose(acc, (2, 0, 1)).reshape(-1, 3)
     img = acc.reshape(settings.height, settings.width, 3)

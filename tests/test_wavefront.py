@@ -115,3 +115,31 @@ def test_windowed_film_banking_matches_scatter():
     img_sc, rays_s = render_image_wavefront(scene, s, lanes=16384, iters_per_launch=8)
     np.testing.assert_allclose(img_win, img_sc, rtol=1e-5, atol=1e-6)
     assert rays_w == rays_s
+
+
+def test_sorted_render_matches_unsorted():
+    """The per-wave coherence sort (fused2_sort, production default) must
+    render the same image as the unsorted path: the sort+unsort permutation
+    is semantically the identity, so only f32 sum order differs."""
+    import numpy as np
+    from owl_path_tracer_tpu.ops.fused2 import build_fused2_scene
+    from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
+    from test_integrator import make_sphere_mesh
+    from owl_path_tracer_tpu.models import material as material_mod
+    from owl_path_tracer_tpu.models.camera import make_camera
+    from owl_path_tracer_tpu.models.scene import RenderSettings, scene_from_arrays
+    from owl_path_tracer_tpu.utils.parser import CameraDesc
+
+    mat = material_mod.single(base_color=(0.6, 0.4, 0.3), roughness=0.7)
+    v, idx, n = make_sphere_mesh(np.zeros(3), 1.0)
+    cam = make_camera(CameraDesc((3, 0, 0), (0, 0, 0), (0, 1, 0), 45), (16, 16))
+    scene = scene_from_arrays(v, idx, mat, np.zeros(len(idx), np.int32), cam, normals=n)
+    s = RenderSettings(width=16, height=16, max_samples=4, max_path_depth=3,
+                       environment_color=(1, 0.9, 0.8), environment_intensity=1.0)
+    fb = build_fused2_scene(scene, cluster_size=64)
+    img_sorted, rays_a = render_image_wavefront(
+        scene, s, accel=fb, lanes=512, iters_per_launch=4, fused2_sort=True)
+    img_plain, rays_b = render_image_wavefront(
+        scene, s, accel=fb, lanes=512, iters_per_launch=4, fused2_sort=False)
+    np.testing.assert_allclose(img_sorted, img_plain, rtol=1e-5, atol=1e-6)
+    assert rays_a == rays_b

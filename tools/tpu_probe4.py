@@ -41,8 +41,13 @@ def probe_frame(args):
     """Real render loop with a per-launch sync: launch-time series."""
     import jax.numpy as jnp
 
+    from owl_path_tracer_tpu.ops import fused2 as f2
     from owl_path_tracer_tpu.render import wavefront as wf
 
+    if args.o_bits:
+        f2.SORT_O_BITS = args.o_bits  # fresh process per ablation (jit cache)
+    if args.d_bits is not None:
+        f2.SORT_D_BITS = args.d_bits
     scene, settings, fb = bench_setup()
     total_work = settings.width * settings.height * settings.max_samples
     lanes, iters = args.lanes, args.iters
@@ -77,6 +82,7 @@ def probe_frame(args):
     print(json.dumps({
         "probe": "frame", "film": args.film, "lanes": lanes,
         "sort": args.sort, "fanout": args.fanout,
+        "o_bits": args.o_bits or f2.SORT_O_BITS, "d_bits": f2.SORT_D_BITS,
         "iters_per_launch": iters, "block": args.block,
         "launches": len(times), "frame_s": round(frame_s, 2),
         "rays": int(st.rays),
@@ -138,7 +144,8 @@ def probe_step(args):
     from owl_path_tracer_tpu.render import integrator
 
     for name, film, isect in variants:
-        real_isect, _ = integrator.make_intersectors(scene, fb, fused2_block=args.block)
+        real_isect, _ = integrator.make_intersectors(
+            scene, fb, fused2_block=args.block, fused2_sort=args.sort)
         use_isect = isect or real_isect
 
         # freeze work_counter high so regen keeps happening (steady state)
@@ -238,6 +245,8 @@ def main():
     ap.add_argument("--fanout", type=int, default=None)
     ap.add_argument("--launches", type=int, default=0, help="0 = run to completion")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--o-bits", type=int, default=0, help="sort-key origin Morton bits/axis (0 = default)")
+    ap.add_argument("--d-bits", type=int, default=None, help="sort-key direction bits/axis")
     args = ap.parse_args()
 
     if args.what in ("step", "all"):
