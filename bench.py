@@ -54,6 +54,7 @@ def run_config(args, scene_name, size, spp, depth, nee=False):
         kw = dict(
             accel=accel, lanes=args.lanes, fused2_block=args.fused2_block,
             fused2_sort=not args.no_sort, readback_f16=True,
+            iters_per_launch=args.iters_per_launch,
         )
         # warm-up/compile with the IDENTICAL static config (spp is static in
         # the jitted chunk, so a different-spp warm-up would not prime the
@@ -100,6 +101,7 @@ def main():
     ap.add_argument("--pixel-chunk", type=int, default=65536)
     ap.add_argument("--renderer", choices=["wavefront", "scan"], default="wavefront")
     ap.add_argument("--lanes", type=int, default=131072)
+    ap.add_argument("--iters-per-launch", type=int, default=32)
     ap.add_argument(
         "--fused2-block", type=int, default=256,
         help="rays per fused2 kernel block (256 best measured; 128 for very incoherent loads)",

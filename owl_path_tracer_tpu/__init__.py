@@ -16,6 +16,12 @@ def _enable_compilation_cache():
     import os
 
     try:
+        # 1M-triangle scenes (dragon8: K~2.7k clusters at C=512) need ~18 MB
+        # of kernel scratch; the default scoped-vmem budget is 16 MB.  Set
+        # before backend init; respected by the axon relay's compile env.
+        os.environ.setdefault(
+            "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=24576"
+        )
         import jax
 
         cache_dir = os.environ.get(

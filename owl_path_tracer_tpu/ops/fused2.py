@@ -53,6 +53,10 @@ FANOUT = 2
 # so a generous bound costs nothing in the typical case and keeps pathological
 # (fully incoherent) blocks off the whole-wave exact-fallback path
 MAX_STEPS = 512
+# per-ray frontier refresh interval, in retired CLUSTERS (module constant so
+# probes can ablate per process): smaller = tighter per-ray pruning for
+# incoherent blocks, at one extra [B,K] slab pass per interval
+REFRESH_CLUSTERS = 8
 
 # attr plane row layout (16 rows x C lanes per cluster)
 #   0:3 n0.xyz   3:6 n1.xyz   6:9 n2.xyz
@@ -254,23 +258,35 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout,
     # never needs to persist: the MT test runs block-wide on the MXU anyway,
     # and any valid hit inside a cluster's AABB necessarily has
     # entry <= t < best, so the ``t < best`` window in the hit test subsumes
-    # the old per-ray participation mask. ──
+    # the old per-ray participation mask.
+    # Computed in K-column TILES: the [B,K_tile] slab temps are the kernel's
+    # biggest scratch, and tiling makes phase-A VMEM independent of K -- the
+    # flat cluster list then scales to 1M-triangle scenes (K~2.7k at C=512
+    # hit the 16 MB scoped-vmem limit with un-tiled [B,K] temps). ──
+    tile_k = min(k, 1024)
+
     def frontier(cap):
         """[1,K] block frontier: min over rays of box entry, counting only
         entries a ray still needs (entry < that ray's cap)."""
-        tn = jnp.full((b, k), -jnp.inf, jnp.float32)
-        tf = jnp.full((b, k), jnp.inf, jnp.float32)
-        for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
-            bmin = boxes_ref[a : a + 1, :]  # [1,K]
-            bmax = boxes_ref[3 + a : 4 + a, :]
-            oi = oa * ia  # [B,1]
-            t0 = ia * bmin - oi  # [B,K]
-            t1 = ia * bmax - oi
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        t_enter = jnp.maximum(tn, t_min)
-        need = (t_enter <= jnp.minimum(tf, tmax)) & (t_enter < cap)
-        return jnp.min(jnp.where(need, t_enter, jnp.inf), axis=0, keepdims=True)
+        parts = []
+        for k0 in range(0, k, tile_k):
+            kk = min(tile_k, k - k0)
+            tn = jnp.full((b, kk), -jnp.inf, jnp.float32)
+            tf = jnp.full((b, kk), jnp.inf, jnp.float32)
+            for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
+                bmin = boxes_ref[a : a + 1, k0 : k0 + kk]  # [1,kk]
+                bmax = boxes_ref[3 + a : 4 + a, k0 : k0 + kk]
+                oi = oa * ia  # [B,1]
+                t0 = ia * bmin - oi  # [B,kk]
+                t1 = ia * bmax - oi
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            t_enter = jnp.maximum(tn, t_min)
+            need = (t_enter <= jnp.minimum(tf, tmax)) & (t_enter < cap)
+            parts.append(
+                jnp.min(jnp.where(need, t_enter, jnp.inf), axis=0, keepdims=True)
+            )
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
     # cap = tmax is exact: a valid hit needs t < tmax and entry <= t
     bent_ref[:, :] = frontier(tmax)
@@ -405,7 +421,7 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout,
             # Re-running the (cheap) slab test with each ray's own best t as
             # cap every 8 retirements restores per-ray pruning semantics with
             # bounded lag; already-retired clusters stay retired.
-            refresh_p = max(1, 8 // fanout)  # ~every 8 retired clusters
+            refresh_p = max(1, REFRESH_CLUSTERS // fanout)
             @pl.when(jax.lax.rem(i, refresh_p) == refresh_p - 1)
             def _():
                 if any_hit:
@@ -685,11 +701,13 @@ def _morton3(x, y, z, bits: int = 4):
 
 
 # sort-key resolution (module constants so probes can ablate per process;
-# jit caches are NOT invalidated by changing these at runtime).  5 origin
-# bits/axis measured ~5% faster full-frame than 4 (tools/tpu_probe4 round 3):
-# finer origin cells pack bounce rays from smaller surface patches together.
+# jit caches are NOT invalidated by changing these at runtime).  Measured
+# full-frame (tools/tpu_probe4 round 3): o4d3 19.7s, o5d3 18.6s, o5d4 17.5s,
+# o6d4 17.6s -- finer origin cells pack bounce rays from smaller surface
+# patches, finer direction cones shrink the per-block cluster union; o6 adds
+# nothing over o5 on this scene scale.
 SORT_O_BITS = 5  # origin Morton bits per axis
-SORT_D_BITS = 3  # direction bits per axis
+SORT_D_BITS = 4  # direction bits per axis
 
 
 def ray_sort_keys(ray_o, ray_d, bounds) -> jnp.ndarray:

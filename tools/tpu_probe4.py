@@ -48,6 +48,8 @@ def probe_frame(args):
         f2.SORT_O_BITS = args.o_bits  # fresh process per ablation (jit cache)
     if args.d_bits is not None:
         f2.SORT_D_BITS = args.d_bits
+    if args.refresh:
+        f2.REFRESH_CLUSTERS = args.refresh
     scene, settings, fb = bench_setup()
     total_work = settings.width * settings.height * settings.max_samples
     lanes, iters = args.lanes, args.iters
@@ -247,6 +249,7 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--o-bits", type=int, default=0, help="sort-key origin Morton bits/axis (0 = default)")
     ap.add_argument("--d-bits", type=int, default=None, help="sort-key direction bits/axis")
+    ap.add_argument("--refresh", type=int, default=0, help="frontier refresh interval in clusters (0 = default)")
     args = ap.parse_args()
 
     if args.what in ("step", "all"):
