@@ -53,7 +53,7 @@ def run_config(args, scene_name, size, spp, depth, nee=False):
 
         kw = dict(
             accel=accel, lanes=args.lanes, fused2_block=args.fused2_block,
-            fused2_sort=not args.no_sort, readback_f16=True,
+            fused2_sort=not args.no_sort, readback_f16=args.readback_f16,
             iters_per_launch=args.iters_per_launch,
         )
         # warm-up/compile with the IDENTICAL static config (spp is static in
@@ -78,6 +78,7 @@ def run_config(args, scene_name, size, spp, depth, nee=False):
         f"{scene_name} {n_tris // 1000}k tris {size}^2 spp={spp} depth={depth}, "
         f"{args.intersector} intersector, {args.renderer}"
         + (", nee" if nee else "")
+        + (", f16-readback" if args.readback_f16 else "")
     )
     return mrays, label
 
@@ -114,6 +115,12 @@ def main():
                          "any-hit shadow rays)")
     ap.add_argument("--no-trend", action="store_true",
                     help="skip the frozen secondary trend config")
+    ap.add_argument(
+        "--no-readback-f16", dest="readback_f16", action="store_false",
+        help="read the film back at full f32 precision (the default f16 "
+             "readback is display-only lossy; it halves the ~490 ms relay "
+             "readback and does not affect on-device accumulation)",
+    )
     ap.add_argument("--quick", action="store_true", help="256^2, spp=2, sub=6 smoke config")
     args = ap.parse_args()
     if args.quick:

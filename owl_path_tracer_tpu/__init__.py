@@ -17,11 +17,17 @@ def _enable_compilation_cache():
 
     try:
         # 1M-triangle scenes (dragon8: K~2.7k clusters at C=512) need ~18 MB
-        # of kernel scratch; the default scoped-vmem budget is 16 MB.  Set
-        # before backend init; respected by the axon relay's compile env.
-        os.environ.setdefault(
-            "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=24576"
-        )
+        # of kernel scratch; the default scoped-vmem budget is 16 MB.  Must be
+        # set before JAX backend init (import owl_path_tracer_tpu before any
+        # jax.devices()/jit call); respected by the axon relay's compile env.
+        # APPEND to any user-set LIBTPU_INIT_ARGS rather than skipping the
+        # bump whenever the variable already holds unrelated flags.
+        _flag = "--xla_tpu_scoped_vmem_limit_kib"
+        _cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+        if _flag not in _cur:
+            os.environ["LIBTPU_INIT_ARGS"] = (
+                _cur + " " if _cur else ""
+            ) + f"{_flag}=24576"
         import jax
 
         cache_dir = os.environ.get(

@@ -227,7 +227,6 @@ MAX_CANDIDATES = 16
 #   direct -- per-ray blob gather (N * C*9 floats per step)
 #   sorted -- argsort rays by cluster id first (coherent gather runs)
 #   binned -- cluster-aligned bins, one blob gather per bin (~50x fewer bytes)
-#   pallas -- the scalar-prefetch binned Pallas kernel (ops/pallas_kernels.py)
 DEFAULT_PHASE_B = "direct"
 
 # The exact overflow continuation guarantees closest-hit exactness for rays
@@ -379,19 +378,12 @@ def cluster_closest_hit(
         else:
             active = cur_t < best_t
         cid_safe = jnp.where(active, cid, 0)
-        if phase_b == "pallas":
-            from .pallas_kernels import pallas_binned_intersect
-
-            lt, ltri, luv, lhit = pallas_binned_intersect(
-                ray_o, ray_d, cb, cid_safe, t_min, best_t
-            )
-        else:
-            isect = {
-                "direct": _intersect_cluster,
-                "sorted": _sorted_intersect,
-                "binned": _binned_intersect,
-            }[phase_b]
-            lt, ltri, luv, lhit = isect(ray_o, ray_d, cb, cid_safe, t_min, best_t)
+        isect = {
+            "direct": _intersect_cluster,
+            "sorted": _sorted_intersect,
+            "binned": _binned_intersect,
+        }[phase_b]
+        lt, ltri, luv, lhit = isect(ray_o, ray_d, cb, cid_safe, t_min, best_t)
         better = active & lhit & (lt < best_t)
         best_t = jnp.where(better, lt, best_t)
         best_tri = jnp.where(better, ltri, best_tri)

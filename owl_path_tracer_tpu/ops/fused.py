@@ -1,5 +1,11 @@
 """Fused Pallas traversal: phase A + candidate walk in ONE kernel.
 
+FROZEN ABLATION BASELINE -- not on any production path.  Superseded by
+ops/fused2.py (fat clusters + MXU Moller-Trumbore + in-loop attribute
+replay); kept as the small-cluster ablation point in docs/PERF.md and as a
+second independent Pallas implementation the tests cross-check.  Do not
+extend.
+
 The XLA cluster intersector (ops/cluster.py) materializes a [N,K] entry
 matrix in HBM, top_k's it, then walks a fixed kc=16 candidate columns with a
 full [N, C*9] triangle gather per column -- ~190 ms per 131k-ray wave, almost

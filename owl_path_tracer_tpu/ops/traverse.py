@@ -1,13 +1,16 @@
 """Wavefront BVH traversal in pure JAX (lax.while_loop, per-ray short stack).
 
+FROZEN ABLATION BASELINE -- not on any production path.  The production
+traversal is ops/fused2.py; this module is kept as the CPU-runnable exact
+reference that every faster intersector is validated against (tests/test_bvh,
+test_scenes_all), and as the ablation floor in docs/PERF.md.  Do not extend.
+
 Replaces the hardware traversal the reference gets from OptiX
 (``owl::traceRay``, device.cu:105,133).  The whole wavefront steps in
 lockstep: one ``lax.while_loop`` whose body pops one node per ray, tests both
 child AABBs (ordered near-first with t-culling), or intersects the <=max_leaf
 triangles of a leaf -- all as masked [N]-shaped tensor ops on the VPU.  The
-loop runs until every ray's stack is empty; divergence costs idle lanes, which
-stream compaction at the film layer and the Pallas kernel (ops/pallas_kernels)
-address for the hot path.
+loop runs until every ray's stack is empty; divergence costs idle lanes.
 
 Correctness contract is identical to ops/intersect.py (closest hit in
 (t_min, t_max), MT barycentrics, no culling) and is tested against it on
