@@ -874,3 +874,54 @@ def make_fused2_intersector(fb: Fused2BVH, **kw):
         return fused2_closest_hit(ray_o, ray_d, fb, **kw)
 
     return intersect
+
+
+def fused2_closest_hit_diff(
+    ray_o, ray_d, fb: Fused2BVH, vertices, tri_idx, **kw
+):
+    """fused2 traversal with DIFFERENTIABLE hit geometry (VERDICT r3 #6).
+
+    The kernel finds the winning triangle with detached rays (hit TOPOLOGY is
+    a discrete choice -- correctly non-differentiable); (t, u, v) are then
+    re-derived in plain JAX from the live ray and the winner's vertices, so
+    camera-basis (and, if ``vertices`` is traced, geometry) gradients flow
+    through hit positions and interpolated normals without falling back to
+    the slow cluster/brute traversal (the round-3 caveat in render/diff.py).
+
+    Same split as OptiX-era differentiable renderers: reuse the forward
+    BVH winner, recompute the intersection differentiably.  Reference
+    traversal being replaced: owl::traceRay, device.cu:133.
+
+    The refit uses the classic pvec/qvec Moller-Trumbore (within rounding of
+    the kernel's scalar-triple-product form; tests pin the agreement), so the
+    forward VALUE changes only at ulp scale vs ``fused2_closest_hit``.
+    """
+    rec, blob = fused2_closest_hit(ray_o, ray_d, fb, **kw)
+    hit = rec.tri >= 0
+    safe = jnp.maximum(rec.tri, 0)
+    tri = tri_idx[safe]  # [N,3]
+    p0 = vertices[tri[:, 0]]
+    e1 = vertices[tri[:, 1]] - p0
+    e2 = vertices[tri[:, 2]] - p0
+    pvec = jnp.cross(ray_d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    det_ok = jnp.abs(det) > 1e-12
+    inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    tvec = ray_o - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(ray_d * qvec, axis=-1) * inv
+    t = jnp.sum(e2 * qvec, axis=-1) * inv
+    use = hit & det_ok
+    t = jnp.where(use, t, rec.t)
+    uv = jnp.where(use[:, None], jnp.stack([u, v], axis=-1), rec.uv)
+    return HitRecord(t=t, tri=rec.tri, uv=uv), blob
+
+
+def make_fused2_intersector_diff(fb: Fused2BVH, vertices, tri_idx, **kw):
+    """Differentiable-hit-geometry variant of make_fused2_intersector."""
+
+    def intersect(ray_o, ray_d):
+        return fused2_closest_hit_diff(ray_o, ray_d, fb, vertices, tri_idx, **kw)
+
+    return intersect

@@ -57,11 +57,12 @@ def render_with_params(
     w.r.t. materials, the environment map texels, AND the camera basis
     (all substituted into the scene).
 
-    Works with every accel (integrator.make_intersectors); note that the
-    fused2 Pallas traversal stop-gradients its hit records, so it gives
-    correct MATERIAL and ENV gradients (hit geometry is parameter-independent)
-    but camera gradients need the differentiable cluster/brute traversal
-    (hit t depends on the ray there).
+    Works with every accel (integrator.make_intersectors).  The fused2
+    Pallas traversal is wrapped in its differentiable-refit form here
+    (ops/fused2.py fused2_closest_hit_diff): the kernel's winner topology is
+    detached, but (t, u, v) are re-derived from the live rays, so camera
+    gradients flow through the production traversal too (round-4; previously
+    camera recovery required the cluster/brute fallback).
     """
     scene = scene._replace(materials=materials, env_map=env_map, camera=camera)
     lights = None
@@ -70,7 +71,9 @@ def render_with_params(
         from ..models.lights import build_light_table
 
         lights = build_light_table(scene)
-    intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
+    intersect_fn, occlude_fn = integrator.make_intersectors(
+        scene, accel, differentiable=True
+    )
 
     state0 = rng_mod.seed(pixel_xy[..., 0], pixel_xy[..., 1])
     acc, _, _ = integrator.sample_sum(
@@ -128,8 +131,9 @@ env_loss_and_grad = jax.value_and_grad(env_loss, argnums=1)
 def camera_loss(scene, camera, settings, pixel_xy, target, num_samples, accel):
     """MSE differentiable w.r.t. the camera basis (CameraData pytree).
 
-    Requires a differentiable traversal (cluster/brute): hit distances depend
-    on the rays, and the fused2 kernel stop-gradients its hit records.
+    Works with every accel including fused2 (differentiable hit-geometry
+    refit; interior gradients only -- silhouette boundary terms are out of
+    scope for interior autodiff, as in test_diff.py's camera FD setup).
     """
     img = render_with_params(
         scene, scene.materials, scene.env_map, camera, settings, pixel_xy,

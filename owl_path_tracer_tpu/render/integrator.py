@@ -564,17 +564,25 @@ def make_brute_occluder(scene: Scene, tri_chunk: int = 512) -> Callable:
 
 
 def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: int | None = None,
-                      fused2_sort: bool = False, fused2_fanout: int | None = None):
+                      fused2_sort: bool = False, fused2_fanout: int | None = None,
+                      differentiable: bool = False):
     """Accel -> (intersect_fn, occlude_fn) dispatch shared by every renderer
     (film, wavefront, sharded).  ``accel=None`` selects the brute sweep.
     ``fused2_block`` overrides the fused2 kernel's rays-per-block (coherent
     waves favor 256, incoherent 128).  ``fused2_sort`` sorts each wave by a
     spatial-directional key before the kernel -- a win when the wave mixes
     incoherent bounce rays (mid-frame dragon waves), a small loss on purely
-    coherent primaries."""
+    coherent primaries.  ``differentiable=True`` (the gradient path,
+    render/diff.py) re-derives fused2 hit geometry in plain JAX on the
+    kernel's detached winner topology, so camera/geometry gradients flow --
+    costs one [N,3]x3 vertex gather per wave, irrelevant at recovery-loop
+    pixel counts."""
     from ..ops.cluster import ClusterBVH, cluster_occluded, make_cluster_intersector
     from ..ops.fused import FusedBVH, fused_occluded, make_fused_intersector
-    from ..ops.fused2 import BLOCK_RAYS, Fused2BVH, fused2_occluded, make_fused2_intersector
+    from ..ops.fused2 import (
+        BLOCK_RAYS, Fused2BVH, fused2_occluded, make_fused2_intersector,
+        make_fused2_intersector_diff,
+    )
     from ..ops.traverse import DeviceBVH, bvh_occluded, make_bvh_intersector
 
     if isinstance(accel, Fused2BVH):
@@ -582,8 +590,15 @@ def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: i
 
         blk = fused2_block or BLOCK_RAYS
         fo = fused2_fanout or FANOUT
+        if differentiable:
+            isect = make_fused2_intersector_diff(
+                accel, scene.vertices, scene.tri_idx,
+                block=blk, sort=fused2_sort, fanout=fo,
+            )
+        else:
+            isect = make_fused2_intersector(accel, block=blk, sort=fused2_sort, fanout=fo)
         return (
-            make_fused2_intersector(accel, block=blk, sort=fused2_sort, fanout=fo),
+            isect,
             lambda p, d, dist: fused2_occluded(
                 p, d, accel, t_max=dist, block=blk, sort=fused2_sort, fanout=fo
             ),

@@ -63,8 +63,9 @@ def main():
     tmax = jnp.full((args.n,), 1e10, jnp.float32)
     k, c = fb.num_clusters, fb.cluster_size
     gc = 4 * c
+    planes_bf16 = fb.planes.astype(jnp.bfloat16)
 
-    def mini_kernel(b, trips, do_pick, do_dma, do_mm, P,
+    def mini_kernel(b, trips, do_pick, do_dma, do_mm, P, bf16, recip,
                     rays_ref, boxes_ref, planes_ref, out_ref,
                     bent_ref, buf_ref, best_ref, sem):
         rays = rays_ref[0]
@@ -124,7 +125,8 @@ def main():
                 ).wait()
             if do_mm:
                 pb = buf_ref[p, slot]
-                out4 = jnp.dot(rfeat, pb, preferred_element_type=jnp.float32)
+                rf = rfeat.astype(jnp.bfloat16) if bf16 else rfeat
+                out4 = jnp.dot(rf, pb, preferred_element_type=jnp.float32)
                 det = out4[:, 0:c]
                 sgn = jnp.where(det < 0.0, -1.0, 1.0)
                 dd = det * sgn
@@ -135,7 +137,10 @@ def main():
                       & (ua + vb <= dd) & (tcd > dd * m.T_MIN)
                       & (tcd < dd * best_ref[:, 0:1]))
                 dd_safe = jnp.where(dd < 1e-12, 1.0, dd)
-                t = jnp.where(ok, tcd / dd_safe, jnp.inf)
+                if recip:
+                    t = jnp.where(ok, tcd * pl.reciprocal(dd_safe, approx=True), jnp.inf)
+                else:
+                    t = jnp.where(ok, tcd / dd_safe, jnp.inf)
                 tc = jnp.min(t, axis=-1, keepdims=True)
                 better = tc < best_ref[:, 0:1]
                 best_ref[:, 0:1] = jnp.where(better, tc, best_ref[:, 0:1])
@@ -151,18 +156,28 @@ def main():
     def run_variant(name, iters):
         P = 1
         do_pick, do_dma, do_mm = False, "none", False
+        bf16 = recip = False
         if name == "nop_loop":
             pass
         elif name == "pick_only":
             do_pick = True
         elif name == "sched_mm":
             do_mm = True
+        elif name == "sched_mm_bf16":
+            do_mm = bf16 = True
+        elif name == "sched_mm_recip":
+            do_mm = recip = True
         elif name == "sched_dma":
             do_dma = "sync"
+        elif name == "sched_dma_bf16":
+            do_dma, bf16 = "sync", True
         elif name == "sched_dma_mm":
             do_dma, do_mm = "sync", True
         elif name == "pick_dma_mm":
             do_pick, do_dma, do_mm = True, "sync", True
+        elif name == "pick_dma_mm_bf16":
+            do_pick, do_dma, do_mm = True, "sync", True
+            bf16 = recip = True
         elif name.startswith("interleave"):
             P = int(name[len("interleave"):])
             do_pick, do_dma, do_mm = True, "sync", True
@@ -173,12 +188,16 @@ def main():
         g = n // b
         trips = max(iters // P, 0)
 
+        planes_in = planes_bf16 if bf16 else fb.planes
+        pdtype = jnp.bfloat16 if bf16 else jnp.float32
+
         @jax.jit
         def tv(o, d):
             rays = f2.pack_rays(o, d, tmax)
             rr = rays.reshape(g, b, 8)
             out = pl.pallas_call(
-                partial(mini_kernel, b, trips, do_pick, do_dma, do_mm, P),
+                partial(mini_kernel, b, trips, do_pick, do_dma, do_mm, P,
+                        bf16, recip),
                 grid=(g,),
                 in_specs=[
                     pl.BlockSpec((1, b, 8), lambda i: (i, 0, 0)),
@@ -189,11 +208,11 @@ def main():
                 out_shape=jax.ShapeDtypeStruct((g, b, 16), jnp.float32),
                 scratch_shapes=[
                     pltpu.VMEM((P, k), jnp.float32),
-                    pltpu.VMEM((P, 2, 16, gc), jnp.float32),
+                    pltpu.VMEM((P, 2, 16, gc), pdtype),
                     pltpu.VMEM((b, 16), jnp.float32),
                     pltpu.SemaphoreType.DMA((P, 2)),
                 ],
-            )(rr, fb.boxes, fb.planes)
+            )(rr, fb.boxes, planes_in)
             return jnp.sum(out[:, :, 0])
 
         return tv
