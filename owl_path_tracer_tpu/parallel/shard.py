@@ -185,14 +185,30 @@ def sharded_wavefront_chunk(
     iters: int,
     lights,
     env_light,
+    work_split: str = "contiguous",
 ):
     """shard_map'd ``iters`` wavefront steps.  Every chip runs its own
     persistent lane pool over a disjoint slice of the (pixel, sample) work
     queue; the scene/accel (including the fused2 Pallas traversal) are
     replicated.  Pool lane arrays are sharded on their leading axis; the
     per-chip film/work-counter/ray-counter carry an explicit [n_dev] leading
-    axis."""
+    axis.
+
+    ``work_split="sample"``: chip k owns samples [k*spp/n, (k+1)*spp/n) of
+    EVERY pixel (local queue ids mapped through ``work_map``); every chip
+    then traces the same pixel distribution, so load balance is ~1 by
+    construction regardless of where the scene concentrates its bounce work
+    -- the rebalancing knob VERDICT r3 #7 asked for.  "contiguous" keeps the
+    round-3 per-chip pixel bands (disjoint film regions, no overlap in the
+    final film sum)."""
     from ..render.wavefront import PoolState, wavefront_step
+
+    n_dev = mesh.devices.size
+    spp = settings.max_samples
+    local_spp = None
+    if work_split == "sample":
+        assert spp % n_dev == 0, (spp, n_dev)
+        local_spp = spp // n_dev
 
     def shard_body(st_g: PoolState, work_hi):
         st = st_g._replace(
@@ -202,10 +218,18 @@ def sharded_wavefront_chunk(
         )
         hi = work_hi[0]
 
+        work_map = None
+        if work_split == "sample":
+            k = jax.lax.axis_index("px")
+
+            def work_map(l):  # local id -> global (pixel, sample) id
+                return (l // local_spp) * spp + k * local_spp + (l % local_spp)
+
         def body(st, _):
             return wavefront_step(
                 scene, settings, st, intersect_fn, enable_textures, hi,
                 lights=lights, occlude_fn=occlude_fn, env_light=env_light,
+                work_map=work_map, local_spp=local_spp,
             ), None
 
         intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
@@ -246,6 +270,7 @@ def render_image_wavefront_sharded(
     iters_per_launch: int = 16,
     max_launches: int = 1000,
     return_stats: bool = False,
+    work_split: str = "auto",
 ):
     """Full-frame render: one persistent wavefront pool PER CHIP.
 
@@ -262,6 +287,10 @@ def render_image_wavefront_sharded(
         mesh = make_pixel_mesh()
     n_dev = mesh.devices.size
     total_work = settings.width * settings.height * settings.max_samples
+    if work_split == "auto":
+        work_split = (
+            "sample" if settings.max_samples % n_dev == 0 else "contiguous"
+        )
 
     lights = None
     env_light = None
@@ -276,9 +305,15 @@ def render_image_wavefront_sharded(
             )
     enable_textures = scene_has_textures(scene)
 
-    # contiguous per-chip work ranges
-    edges = np.linspace(0, total_work, n_dev + 1).round().astype(np.int32)
-    work_lo, work_hi = edges[:-1], edges[1:]
+    if work_split == "sample":
+        # every chip walks a LOCAL queue of total_work/n_dev ids, mapped to
+        # its spp-slice of all pixels inside the shard body
+        work_lo = np.zeros(n_dev, np.int32)
+        work_hi = np.full(n_dev, total_work // n_dev, np.int32)
+    else:
+        # contiguous per-chip work ranges
+        edges = np.linspace(0, total_work, n_dev + 1).round().astype(np.int32)
+        work_lo, work_hi = edges[:-1], edges[1:]
 
     # stack per-chip pools along the sharded leading axis
     pools = [new_pool(settings, lanes_per_chip, work_lo=int(lo)) for lo in work_lo]
@@ -299,7 +334,7 @@ def render_image_wavefront_sharded(
 
     fn = sharded_wavefront_chunk(
         mesh, scene, settings, accel, enable_textures, iters_per_launch,
-        lights, env_light,
+        lights, env_light, work_split=work_split,
     )
     for _ in range(max_launches):
         st, status = fn(st, hi_d)
@@ -307,7 +342,10 @@ def render_image_wavefront_sharded(
         if status[:, 0].all() and not status[:, 1].any():
             break
 
-    acc = np.asarray(st.acc).sum(axis=0)  # per-chip pixel sets are disjoint
+    # contiguous: per-chip pixel sets are disjoint; sample split: every chip
+    # holds its spp-slice of every pixel -- either way the film SUM is the
+    # full spp accumulation
+    acc = np.asarray(st.acc).sum(axis=0)
     img = acc.reshape(settings.height, settings.width, 3) / settings.max_samples
     per_chip = np.asarray(st.rays, np.int64)
     if return_stats:

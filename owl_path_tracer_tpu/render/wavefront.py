@@ -83,6 +83,8 @@ def wavefront_step(
     occlude_fn: Callable | None = None,
     env_light=None,
     film_mode: str = "auto",
+    work_map: Callable | None = None,
+    local_spp: int | None = None,
 ) -> PoolState:
     """One bounce for every lane + regeneration of finished lanes.
 
@@ -172,18 +174,27 @@ def wavefront_step(
         # dynamic-slice row update (~1 ms) instead of a 131k-index film
         # scatter-add (measured 5.5 ms, invariant to sortedness hints).
         n_pix = settings.width * settings.height
-        spp = settings.max_samples
+        # samples drawn per pixel FROM THIS QUEUE: equals settings.max_samples
+        # single-chip; under the sharded "sample" split each chip draws only
+        # spp/n_dev of them, so live pixels span proportionally wider
+        spp = local_spp or settings.max_samples
         w_win = ((settings.max_path_depth + 2) * lanes // spp + 2 + 127) // 128 * 128
         # factorize the window: rel = q*W2 + r, so the [L,W] one-hot matmul
         # (W~12k -> a multi-GB operand per step) becomes TWO small one-hots
         # [L,3*W1] x [L,W2] contracted over lanes -- ~30x less HBM traffic
         # for identical results (each (q,r) output cell sums exactly the
-        # lanes whose rel decomposes to it)
+        # lanes whose rel decomposes to it).  W1 ~ sqrt(W/3) balances the two
+        # one-hot operands' traffic (L*(3*W1 + W2)), which keeps the window
+        # path winning for LARGE pools (512k-lane waves have W ~ 49k; the
+        # old fixed W1=64 pushed W2 to 768 and the 16384 cap silently fell
+        # back to the 5.5 ms scatter -- the round-4 lanes-sweep regression).
         w1 = 64
+        while w1 * w1 * 3 < w_win and w1 < 512:
+            w1 *= 2
         w2 = (w_win + w1 - 1) // w1
         w_pad = w1 * w2
         contrib = jnp.where(path_done[:, None], ps.result, 0.0)  # [L,3]
-        use_window = w_pad <= min(16384, n_pix)
+        use_window = w_pad <= min(65536, n_pix)
         if film_mode == "scatter":
             use_window = False
         elif film_mode == "window":
@@ -237,9 +248,15 @@ def wavefront_step(
         work_counter = st.work_counter + handed_out
         work_local = st.work_local
 
-    pixel_s, o_s, d_s, rng_s = _spawn(
-        scene, settings, jnp.maximum(new_ids, 0), total_work
-    )
+    # ``work_map`` translates LOCAL queue ids to GLOBAL (pixel, sample) work
+    # ids -- identity single-chip; under the sharded renderer's "sample"
+    # split it maps chip-local ids onto this chip's spp-slice of every pixel
+    # (parallel/shard.py).  Mapping here (not at queue level) keeps the
+    # window-film locality math in LOCAL id space, where ids stay contiguous.
+    mapped_ids = jnp.maximum(new_ids, 0)
+    if work_map is not None:
+        mapped_ids = work_map(mapped_ids)
+    pixel_s, o_s, d_s, rng_s = _spawn(scene, settings, mapped_ids, total_work)
 
     def sel(new, old):
         mask = can_spawn

@@ -129,3 +129,29 @@ def test_sharded_wavefront_fused2_smoke():
         scene, SETTINGS, accel=accel, lanes=1024, iters_per_launch=4
     )
     np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_wavefront_sample_split_matches_and_balances():
+    """The "sample" work split (round 4, VERDICT r3 #7): chip k renders
+    samples [k*spp/n, (k+1)*spp/n) of EVERY pixel.  Must (a) equal the
+    single-chip render (same (pixel,sample) set, same per-item RNG streams),
+    and (b) balance load ~perfectly even though the scene's work is spatially
+    concentrated -- every chip sees the same pixel distribution."""
+    import dataclasses
+
+    from owl_path_tracer_tpu.render.wavefront import render_image_wavefront
+
+    scene = small_scene()
+    s = dataclasses.replace(SETTINGS, max_samples=8)
+    mesh = shard_mod.make_pixel_mesh()
+    img_s, rays_s, stats = shard_mod.render_image_wavefront_sharded(
+        scene, s, mesh=mesh, lanes_per_chip=256, iters_per_launch=4,
+        work_split="sample", return_stats=True,
+    )
+    img_1, rays_1 = render_image_wavefront(
+        scene, s, lanes=2048, iters_per_launch=4
+    )
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+    assert rays_s == rays_1
+    # same pixels everywhere -> only sampling noise separates the chips
+    assert stats["load_balance"] > 0.9, stats
