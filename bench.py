@@ -95,9 +95,11 @@ def main():
     )
     ap.add_argument("--cluster-size", type=int, default=None)
     ap.add_argument(
-        "--intersector", choices=["fused2", "fused", "cluster", "bvh", "brute"],
+        "--intersector",
+        choices=["fused2", "fused2-bf16", "fused", "cluster", "bvh", "brute"],
         default="fused2",
-        help="fused2 = fat-cluster pipelined Pallas traversal (production)",
+        help="fused2 = fat-cluster pipelined Pallas traversal (production); "
+             "fused2-bf16 = bfloat16 triangle planes (throughput mode)",
     )
     ap.add_argument("--pixel-chunk", type=int, default=65536)
     ap.add_argument("--renderer", choices=["wavefront", "scan"], default="wavefront")

@@ -75,7 +75,15 @@ class Fused2BVH(NamedTuple):
     # MXU layout [K,16,4C]: per-triangle FEATURE matrix F such that
     # [d, oxd, o, 1] @ F = [det | u*det | v*det | t*det] column groups
     # (Moller-Trumbore as ONE matmul; tid stored in row 10 of group 0, which
-    # multiplies a zero ray-feature row)
+    # multiplies a zero ray-feature row).  Optionally bf16 (build_fused2
+    # plane_dtype): halves plane DMA bytes and runs the MT matmul at the
+    # MXU's native bf16 rate; hit t/u/v then carry ~0.5e-2 relative input
+    # rounding (under spp-64 Monte-Carlo noise -- opt-in throughput mode,
+    # f32 stays the exactness default).  bf16 cannot hold tri ids > 256
+    # exactly, so the bf16 build stores the id as three 8-bit DIGIT rows
+    # (10=hi, 11=mid, 12=lo, each in {-1, 0..255} -- exact in bf16; padding
+    # slots are all -1 so the recomposed id stays negative) that the kernel
+    # recomposes with two fused multiply-adds.
     planes: jnp.ndarray
     attrs: jnp.ndarray  # [K,16,C]: shading payload planes (row layout above)
     attr_table: jnp.ndarray  # [T,16] same payload by tri id (fallback/grad path)
@@ -95,7 +103,9 @@ class Fused2BVH(NamedTuple):
         return self.planes.shape[2] == 4 * self.attrs.shape[2]
 
 
-def _mxu_features(tri_planes: np.ndarray, tid: np.ndarray) -> np.ndarray:
+def _mxu_features(
+    tri_planes: np.ndarray, tid: np.ndarray, digits: bool = False
+) -> np.ndarray:
     """Per-triangle Moller-Trumbore FEATURE matrix for the MXU path.
 
     With ray features R = [d(3), m=oxd(3), o(3), 1, 0...] ([B,16]) and per-
@@ -119,7 +129,14 @@ def _mxu_features(tri_planes: np.ndarray, tid: np.ndarray) -> np.ndarray:
     f = np.zeros((kk, 16, 4 * c), np.float32)
     # group 0: det = d.(e2 x e1)
     f[:, 0:3, 0:c] = np.cross(e2, e1).transpose(0, 2, 1)
-    f[:, 10, 0:c] = tid
+    if digits:
+        ti = tid.astype(np.int64)
+        neg = ti < 0
+        f[:, 10, 0:c] = np.where(neg, -1, ti // 65536)
+        f[:, 11, 0:c] = np.where(neg, -1, (ti // 256) % 256)
+        f[:, 12, 0:c] = np.where(neg, -1, ti % 256)
+    else:
+        f[:, 10, 0:c] = tid
     # group 1: u*det = e2.m - (e2 x p0).d
     f[:, 0:3, c : 2 * c] = -np.cross(e2, p0).transpose(0, 2, 1)
     f[:, 3:6, c : 2 * c] = e2.transpose(0, 2, 1)
@@ -140,10 +157,17 @@ def build_fused2(
     texcoords: np.ndarray | None = None,
     tri_mat: np.ndarray | None = None,
     mxu: bool = True,
+    plane_dtype=np.float32,
 ) -> Fused2BVH:
-    """SAH-leaf clusters + plane re-layout + shading-attribute planes."""
+    """SAH-leaf clusters + plane re-layout + shading-attribute planes.
+
+    ``plane_dtype=np.float32`` (default) keeps the traversal exact;
+    ``jnp.bfloat16`` is the opt-in throughput mode (see Fused2BVH.planes).
+    """
     vertices = np.asarray(vertices, np.float32)
     tri_idx = np.asarray(tri_idx, np.int32)
+    bf16 = jnp.dtype(plane_dtype) == jnp.bfloat16
+    assert not bf16 or mxu, "bf16 planes require the MXU feature layout"
     cb = build_clusters(vertices, tri_idx, cluster_size)
     k, c = cb.num_clusters, cb.cluster_size
 
@@ -154,7 +178,9 @@ def build_fused2(
     tid = np.asarray(cb.tri_id)  # [K,C], -1 = padding
     assert tid.max() < (1 << 24), "tri ids exceed exact f32 range"
     if mxu:
-        planes = _mxu_features(np.asarray(cb.tri_planes), tid.astype(np.float32))
+        planes = _mxu_features(
+            np.asarray(cb.tri_planes), tid.astype(np.float32), digits=bf16
+        )
     else:
         planes = np.zeros((k, 16, c), np.float32)
         planes[:, 0:9] = np.asarray(cb.tri_planes)
@@ -183,7 +209,7 @@ def build_fused2(
     bounds = np.stack([vertices.min(0), vertices.max(0)]).astype(np.float32)
     return Fused2BVH(
         boxes=jnp.asarray(boxes),
-        planes=jnp.asarray(planes),
+        planes=jnp.asarray(planes).astype(plane_dtype),
         attrs=jnp.asarray(attrs),
         attr_table=jnp.asarray(attr_table),
         bounds=jnp.asarray(bounds),
@@ -191,7 +217,9 @@ def build_fused2(
     )
 
 
-def build_fused2_scene(scene, cluster_size: int = 512, mxu: bool = True) -> Fused2BVH:
+def build_fused2_scene(
+    scene, cluster_size: int = 512, mxu: bool = True, plane_dtype=np.float32
+) -> Fused2BVH:
     """Build from a compiled Scene (models/scene.py) including shading attrs."""
     return build_fused2(
         np.asarray(scene.vertices),
@@ -201,6 +229,7 @@ def build_fused2_scene(scene, cluster_size: int = 512, mxu: bool = True) -> Fuse
         texcoords=np.asarray(scene.texcoords),
         tri_mat=np.asarray(scene.tri_mat),
         mxu=mxu,
+        plane_dtype=plane_dtype,
     )
 
 
@@ -225,13 +254,19 @@ def _default_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout,
+def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
             rays_ref, boxes_ref, planes_ref, attrs_ref, out_ref,
             bent_ref, buf_ref, abuf_ref, best_ref, attr_ref, sem, asem, ctl_ref):
     rays = rays_ref[0]  # [B,8]
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     tmax = rays[:, 6:7]
+    # mixed sweep (deferred-NEE): rays[:,7] > 0 marks PER-LANE any-hit
+    # (shadow) rays traced in the same blocks as closest-hit rays -- shadow
+    # rays share their origin with the lane's next bounce ray, so they ride
+    # the block's existing cluster retirements nearly for free (the TPU
+    # answer to the reference's second ray type, owl.hpp:25, device.cu:106)
+    shadow = rays[:, 7:8] > 0.0 if mixed else None
 
     if mxu:
         # ray feature rows [B,16]: d, m = o x d, o, 1 (rows 10+ zero so the
@@ -244,6 +279,8 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout,
              jnp.ones((b, 1), jnp.float32), jnp.zeros((b, 6), jnp.float32)],
             axis=1,
         )  # [B,16]
+        if bf16:
+            rfeat = rfeat.astype(jnp.bfloat16)
 
     def inv(dc):
         return 1.0 / jnp.where(
@@ -472,7 +509,17 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout,
                         axis=1,
                     )  # [B, cc]
 
-                tid = degroup(pb[10:11], 0)
+                if bf16:
+                    # recompose the 24-bit tri id from its three exact
+                    # 8-bit digit rows (padding digits are all -1 -> the
+                    # recomposed id is negative and fails the tid test)
+                    tid = (
+                        degroup(pb[10:11], 0).astype(jnp.float32) * 65536.0
+                        + degroup(pb[11:12], 0).astype(jnp.float32) * 256.0
+                        + degroup(pb[12:13], 0).astype(jnp.float32)
+                    )
+                else:
+                    tid = degroup(pb[10:11], 0)
                 det = degroup(out4, 0)
                 sgn = jnp.where(det < 0.0, -1.0, 1.0)
                 dd = det * sgn  # |det|
@@ -575,6 +622,14 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout,
                         preferred_element_type=jnp.float32,
                     )  # [B,16]
                     attr_ref[:, :] = jnp.where(better, val, attr_ref[:, :])
+                if mixed:
+                    # shadow lane with ANY recorded hit terminates: t -> t_min
+                    # removes it from the prune bound and from further hit
+                    # acceptance (TERMINATE_ON_FIRST_HIT, device.cu:106-107)
+                    best_ref[:, 0:1] = jnp.where(
+                        shadow & (best_ref[:, 4:5] > 0.0),
+                        jnp.float32(t_min), best_ref[:, 0:1],
+                    )
             # block-level clusters-retired counter (diagnostic)
             n_ret = jnp.zeros((), jnp.float32)
             for cid in cur_ids:
@@ -624,26 +679,32 @@ def fused2_traverse(
     )
 
 
-def pack_rays(ray_o, ray_d, t_max):
-    """[N,8] kernel ray layout: o(3) d(3) tmax pad.  Detached: traversal is
-    not differentiable (hit records are parameter-independent for material/
-    env gradients; camera/geometry gradients use the cluster traversal)."""
+def pack_rays(ray_o, ray_d, t_max, shadow=None):
+    """[N,8] kernel ray layout: o(3) d(3) tmax flag.  The flag column marks
+    per-lane any-hit (shadow) rays in mixed sweeps; 0 otherwise.  Detached:
+    traversal is not differentiable (hit records are parameter-independent
+    for material/env gradients; camera/geometry gradients use the
+    differentiable refit, fused2_closest_hit_diff)."""
     ray_o = jax.lax.stop_gradient(ray_o)
     ray_d = jax.lax.stop_gradient(ray_d)
     t_max = jax.lax.stop_gradient(t_max)
     n = ray_o.shape[0]
     if jnp.ndim(t_max) == 0:
         t_max = jnp.full((n,), t_max, jnp.float32)
-    return jnp.concatenate(
-        [ray_o, ray_d, t_max[:, None], jnp.zeros((n, 1), jnp.float32)], axis=1
+    flag = (
+        jnp.zeros((n, 1), jnp.float32)
+        if shadow is None
+        else jax.lax.stop_gradient(shadow).astype(jnp.float32)[:, None]
     )
+    return jnp.concatenate([ray_o, ray_d, t_max[:, None], flag], axis=1)
 
 
-@partial(jax.jit, static_argnames=("interpret", "block", "max_steps", "with_attrs", "any_hit", "fanout"))
+@partial(jax.jit, static_argnames=("interpret", "block", "max_steps", "with_attrs", "any_hit", "fanout", "mixed"))
 def fused2_traverse_packed(
     rays, fb: Fused2BVH,
     interpret: bool | None = None, block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS,
     with_attrs: bool = True, any_hit: bool = False, fanout: int = FANOUT,
+    mixed: bool = False,
 ):
     """Kernel sweep on pre-packed [N,8] rays (pack_rays) -> [N,32].
 
@@ -655,6 +716,7 @@ def fused2_traverse_packed(
     mxu = fb.mxu
     if not mxu:
         fanout = 1  # legacy component layout supports single-cluster groups only
+    bf16 = fb.planes.dtype == jnp.bfloat16
     n = rays.shape[0]
     k = fb.num_clusters
     c = fb.cluster_size
@@ -663,7 +725,8 @@ def fused2_traverse_packed(
     rays = jax.lax.stop_gradient(rays).reshape(g, block, 8)
 
     out = pl.pallas_call(
-        partial(_kernel, block, k, c, max_steps, with_attrs, any_hit, mxu, fanout),
+        partial(_kernel, block, k, c, max_steps, with_attrs, any_hit, mxu,
+                fanout, bf16, mixed),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, block, 8), lambda i: (i, 0, 0)),
@@ -675,7 +738,7 @@ def fused2_traverse_packed(
         out_shape=jax.ShapeDtypeStruct((g, block, 32), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, k), jnp.float32),
-            pltpu.VMEM((2, 16, (4 * c if mxu else c) * fanout), jnp.float32),
+            pltpu.VMEM((2, 16, (4 * c if mxu else c) * fanout), fb.planes.dtype),
             pltpu.VMEM((2, 16, c * fanout), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
@@ -864,6 +927,81 @@ def fused2_occluded(
         return jnp.where(resolved, hit, occ)
 
     return jax.lax.cond(jnp.all(resolved), lambda h: h, with_fallback, hit)
+
+
+@partial(jax.jit, static_argnames=("sort", "interpret", "block", "max_steps", "fanout"))
+def fused2_sweep_mixed(
+    ray_o, ray_d, t_max, shadow, fb: Fused2BVH,
+    t_min: float = m.T_MIN,
+    sort: bool = False, interpret: bool | None = None,
+    block: int = BLOCK_RAYS, max_steps: int = MAX_STEPS, fanout: int = FANOUT,
+):
+    """ONE kernel sweep over mixed closest-hit + any-hit lanes.
+
+    ``shadow`` [N] bool marks per-lane any-hit (occlusion) rays.  Returns
+    (HitRecord, attr_blob, occluded): hit record/blob are meaningful for
+    non-shadow lanes, ``occluded`` for shadow lanes.  The deferred-NEE
+    wavefront pairs each lane's bounce ray with the PREVIOUS vertex's shadow
+    ray -- both start at the same point, so the coherence sort packs them
+    into the same blocks and the shadow rays reuse the blocks' cluster
+    retirements (VERDICT r3 #8; replaces the separate fused2_occluded sweep
+    == the reference's second ray type, owl.hpp:25).
+    """
+    n0 = ray_o.shape[0]
+    ray_o_p, ray_d_p, t_max_p, _ = _pad_rays(ray_o, ray_d, t_max, block)
+    shadow_p = shadow
+    pad = ray_o_p.shape[0] - n0
+    if pad:
+        shadow_p = jnp.concatenate([shadow, jnp.zeros((pad,), bool)])
+
+    rays = pack_rays(ray_o_p, ray_d_p, t_max_p, shadow=shadow_p)
+    if sort:
+        keys = ray_sort_keys(ray_o_p, ray_d_p, fb.bounds)
+        perm = jnp.argsort(keys, stable=True)
+        out = fused2_traverse_packed(
+            rays[perm], fb, interpret=interpret, block=block,
+            max_steps=max_steps, with_attrs=True, mixed=True, fanout=fanout,
+        )[_inverse_perm(perm)]
+    else:
+        out = fused2_traverse_packed(
+            rays, fb, interpret=interpret, block=block, max_steps=max_steps,
+            with_attrs=True, mixed=True, fanout=fanout,
+        )
+    out = out[:n0]
+
+    t = out[:, 0]
+    hit = out[:, 4] > 0.0
+    tri = jnp.where(hit, out[:, 3].astype(jnp.int32), -1)
+    uv = out[:, 1:3]
+    blob = out[:, 16:32]
+    resolved = out[:, 5] > 0.0
+    occluded = hit
+
+    def with_fallback(args):
+        t, tri, uv, blob, occluded = args
+        from .cluster import cluster_occluded
+
+        rec = cluster_closest_hit(
+            ray_o, ray_d, fb.cluster, t_min=t_min, t_max=t_max
+        )
+        occ = cluster_occluded(ray_o, ray_d, fb.cluster, t_min=t_min, t_max=t_max)
+        fb_blob = fb.attr_table[jnp.maximum(rec.tri, 0)]
+        keep = resolved
+        return (
+            jnp.where(keep, t, rec.t),
+            jnp.where(keep, tri, rec.tri),
+            jnp.where(keep[:, None], uv, rec.uv),
+            jnp.where(keep[:, None], blob, fb_blob),
+            jnp.where(keep, occluded, occ),
+        )
+
+    t, tri, uv, blob, occluded = jax.lax.cond(
+        jnp.all(resolved), lambda a: a, with_fallback,
+        (t, tri, uv, blob, occluded),
+    )
+    t = jnp.where(tri >= 0, t, jnp.asarray(m.T_MAX, jnp.float32))
+    t, uv, blob = jax.lax.stop_gradient((t, uv, blob))
+    return HitRecord(t=t, tri=tri, uv=uv), blob, occluded
 
 
 def make_fused2_intersector(fb: Fused2BVH, **kw):

@@ -229,14 +229,17 @@ def sharded_wavefront_chunk(
             return wavefront_step(
                 scene, settings, st, intersect_fn, enable_textures, hi,
                 lights=lights, occlude_fn=occlude_fn, env_light=env_light,
-                work_map=work_map, local_spp=local_spp,
+                work_map=work_map, local_spp=local_spp, mixed_fn=mixed_fn,
             ), None
 
         intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
+        mixed_fn = (
+            integrator.make_mixed_sweep_fn(accel) if settings.use_nee else None
+        )
         st, _ = jax.lax.scan(body, st, None, length=iters)
         status = jnp.stack(
             [(st.work_counter >= hi).astype(jnp.int32),
-             jnp.any(st.alive).astype(jnp.int32)]
+             jnp.any(st.alive | st.sh_active).astype(jnp.int32)]
         )
         st_g = st._replace(
             work_counter=st.work_counter[None],
@@ -250,6 +253,8 @@ def sharded_wavefront_chunk(
         result=P("px"), rng=P("px"), alive=P("px"), prev_lobe=P("px"),
         depth=P("px"), prev_pdf=P("px"), work_counter=P("px"), acc=P("px"),
         rays=P("px"), work_local=P("px"),
+        sh_o=P("px"), sh_d=P("px"), sh_dist=P("px"), sh_contrib=P("px"),
+        sh_active=P("px"),
     )
     fn = jax.shard_map(
         shard_body,

@@ -281,7 +281,9 @@ def trace_bounce_nee(
     enable_textures: bool,
     allow_nee: jnp.ndarray | bool = True,
     env_light=None,
-) -> PathState:
+    deferred: bool = False,
+    precomputed=None,
+):
     """One bounce with next-event estimation + MIS.
 
     The live version of the reference's dead lighting machinery
@@ -291,12 +293,27 @@ def trace_bounce_nee(
     the parity integrator's terminal-only writes) and Russian roulette is the
     standard compensated kind -- this mode is a better estimator of the same
     transport, not a bit-parity one.
+
+    ``deferred=True`` (the fused-sweep wavefront, VERDICT r3 #8): instead of
+    shadow-testing here, returns ``(PathState, pending)`` where pending =
+    (origin, direction, distance, contribution, active) of this vertex's
+    UNtested light sample; the caller traces it inside the NEXT step's mixed
+    kernel sweep and adds the contribution if unoccluded.  Estimator-equal to
+    the immediate form (same draws, same RNG stream, same contribution --
+    only its film arrival is one step later).  ``precomputed`` supplies this
+    step's (HitRecord, aux) when the caller already traced the bounce rays
+    in the same mixed sweep.
     """
     from ..models import lights as lights_mod
 
     from ..models import envlight as envlight_mod
 
-    hit, aux = _intersect(intersect_fn, state.ray_o, state.ray_d)
+    if deferred:
+        assert env_light is None, "deferred NEE supports area lights only"
+    if precomputed is not None:
+        hit, aux = precomputed
+    else:
+        hit, aux = _intersect(intersect_fn, state.ray_o, state.ray_d)
 
     # miss -> environment; MIS-weighted against env importance sampling when
     # an EnvLight is active (primary rays keep weight 1)
@@ -344,6 +361,7 @@ def trace_bounce_nee(
 
     # ── next-event estimation (area lights) ──
     rng_state = state.rng
+    pending = None
     if lights is not None:
         u_l, states_l = rng_mod.next_f32_n(rng_state, 3)
         rng_state = jnp.where(alive, states_l[-1], rng_state)
@@ -353,15 +371,23 @@ def trace_bounce_nee(
         # the final scan iteration skips NEE so a depth-D render integrates
         # exactly transport orders 1..D, same as the BSDF-only estimator
         can_light = alive & (ls.pdf > 0.0) & (ls.emission > 0.0) & allow_nee
-        occluded = occlude_fn(pos, ls.direction, ls.distance - m.T_MIN)
         w_l = lights_mod.power_heuristic(1.0, ls.pdf, 1.0, pdf_b_l)
         contrib = (
             f_l
             * (jnp.abs(m.cos_theta(wl_local)) * ls.emission * w_l
                / jnp.where(ls.pdf > 0.0, ls.pdf, 1.0))[..., None]
         )
-        contrib = jnp.where((can_light & ~occluded)[..., None], contrib, 0.0)
-        result = result + state.throughput * jnp.nan_to_num(contrib, nan=0.0, posinf=0.0)
+        if deferred:
+            pend_c = state.throughput * jnp.nan_to_num(
+                jnp.where(can_light[..., None], contrib, 0.0),
+                nan=0.0, posinf=0.0,
+            )
+            pend_on = can_light & jnp.any(pend_c != 0.0, axis=-1)
+            pending = (pos, ls.direction, ls.distance - m.T_MIN, pend_c, pend_on)
+        else:
+            occluded = occlude_fn(pos, ls.direction, ls.distance - m.T_MIN)
+            contrib = jnp.where((can_light & ~occluded)[..., None], contrib, 0.0)
+            result = result + state.throughput * jnp.nan_to_num(contrib, nan=0.0, posinf=0.0)
 
     # ── environment NEE (CDF importance sampling, models/envlight.py) ──
     if env_light is not None:
@@ -420,7 +446,7 @@ def trace_bounce_nee(
 
     depth = jnp.where(ok, state.depth + 1, state.depth)
 
-    return PathState(
+    out = PathState(
         ray_o=ray_o,
         ray_d=ray_d,
         result=result,
@@ -431,6 +457,15 @@ def trace_bounce_nee(
         depth=depth,
         prev_pdf=prev_pdf,
     )
+    if deferred:
+        if pending is None:  # no lights: nothing to defer
+            n = ray_o.shape[0]
+            pending = (
+                ray_o, ray_d, jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), bool),
+            )
+        return out, pending
+    return out
 
 
 def trace_paths(
@@ -561,6 +596,27 @@ def make_brute_occluder(scene: Scene, tri_chunk: int = 512) -> Callable:
         )
 
     return occlude
+
+
+def make_mixed_sweep_fn(accel, fused2_block: int | None = None,
+                        fused2_sort: bool = False, fused2_fanout: int | None = None):
+    """Mixed closest+any-hit sweep for the deferred-NEE wavefront, or None
+    when the accel has no mixed kernel (every non-fused2 accel): the caller
+    then falls back to the separate-occlusion path."""
+    from ..ops.fused2 import BLOCK_RAYS, FANOUT, Fused2BVH, fused2_sweep_mixed
+
+    if not isinstance(accel, Fused2BVH):
+        return None
+    blk = fused2_block or BLOCK_RAYS
+    fo = fused2_fanout or FANOUT
+
+    def sweep(ray_o, ray_d, t_max, shadow):
+        return fused2_sweep_mixed(
+            ray_o, ray_d, t_max, shadow, accel,
+            sort=fused2_sort, block=blk, fanout=fo,
+        )
+
+    return sweep
 
 
 def make_intersectors(scene: Scene, accel, tri_chunk: int = 512, fused2_block: int | None = None,

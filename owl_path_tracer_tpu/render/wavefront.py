@@ -49,6 +49,14 @@ class PoolState(NamedTuple):
     #                   [L,P,3] per-lane pixel slots (strided mode, no scatter)
     rays: jnp.ndarray  # scalar i32 rays traced
     work_local: jnp.ndarray  # [L] i32 per-lane work cursor (strided mode)
+    # deferred-NEE pending shadow ray (fused mixed-sweep mode only; zeros
+    # otherwise): the light sample of the PREVIOUS step's vertex, traced
+    # inside this step's kernel sweep alongside the bounce rays
+    sh_o: jnp.ndarray  # [L,3] shadow origin (the previous vertex)
+    sh_d: jnp.ndarray  # [L,3] shadow direction
+    sh_dist: jnp.ndarray  # [L] occlusion distance
+    sh_contrib: jnp.ndarray  # [L,3] contribution if unoccluded
+    sh_active: jnp.ndarray  # [L] bool pending flag
 
 
 def _spawn(scene, settings, lane_work_id, total_work):
@@ -85,6 +93,7 @@ def wavefront_step(
     film_mode: str = "auto",
     work_map: Callable | None = None,
     local_spp: int | None = None,
+    mixed_fn: Callable | None = None,
 ) -> PoolState:
     """One bounce for every lane + regeneration of finished lanes.
 
@@ -107,6 +116,46 @@ def wavefront_step(
     # there it turns up-to-32 granularity-tax steps from full traversals
     # into ~fixed-cost no-ops.  Idempotent: a parked lane re-parks.
     ray_o_t = jnp.where(st.alive[:, None], st.ray_o, 1e8)
+    lanes0 = st.pixel.shape[0]
+    use_nee = settings.use_nee and occlude_fn is not None and (
+        lights is not None or env_light is not None
+    )
+    # fused deferred-NEE: ONE mixed kernel sweep traces this step's bounce
+    # rays AND the previous vertices' shadow rays together (VERDICT r3 #8).
+    # Area-light NEE only -- env NEE keeps the separate-occlusion path.
+    use_fused_nee = (
+        use_nee and mixed_fn is not None and lights is not None
+        and env_light is None
+    )
+    precomputed = None
+    if use_fused_nee:
+        sh_on = st.sh_active
+        comb_o = jnp.concatenate(
+            [ray_o_t, jnp.where(sh_on[:, None], st.sh_o, 1e8)]
+        )
+        comb_d = jnp.concatenate(
+            [st.ray_d,
+             jnp.where(sh_on[:, None], st.sh_d,
+                       jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (lanes0, 3)))]
+        )
+        comb_t = jnp.concatenate(
+            [jnp.full((lanes0,), m.T_MAX, jnp.float32),
+             jnp.where(sh_on, st.sh_dist, m.T_MIN)]
+        )
+        comb_sh = jnp.concatenate([jnp.zeros((lanes0,), bool), jnp.ones((lanes0,), bool)])
+        rec, blob, occ = mixed_fn(comb_o, comb_d, comb_t, comb_sh)
+        from ..ops.intersect import HitRecord
+
+        precomputed = (
+            HitRecord(t=rec.t[:lanes0], tri=rec.tri[:lanes0], uv=rec.uv[:lanes0]),
+            blob[:lanes0],
+        )
+        occluded_prev = occ[lanes0:]
+        # resolve the pending contribution BEFORE this bounce accumulates
+        st = st._replace(
+            result=st.result
+            + jnp.where((sh_on & ~occluded_prev)[:, None], st.sh_contrib, 0.0)
+        )
     # NB: a whole-pool coherence sort (permute every lane array once per
     # step, kernel sees pre-sorted rays, nothing to unsort) was tried and
     # MEASURED WORSE than the intersector-internal sort: 15.2 vs 9.6 ms/step
@@ -126,12 +175,16 @@ def wavefront_step(
         prev_pdf=st.prev_pdf,
     )
     rays = st.rays + jnp.sum(ps.alive.astype(jnp.int32))
-    use_nee = settings.use_nee and occlude_fn is not None and (
-        lights is not None or env_light is not None
-    )
-    if use_nee:
+    pend = None
+    if use_fused_nee:
         # path regeneration has no "last bounce", so transport order is
         # bounded by depth exhaustion rather than the allow_nee trick
+        ps, pend = integrator.trace_bounce_nee(
+            scene, settings, lights, ps, intersect_fn, occlude_fn,
+            enable_textures, allow_nee=ps.depth < settings.max_path_depth - 1,
+            env_light=None, deferred=True, precomputed=precomputed,
+        )
+    elif use_nee:
         ps = integrator.trace_bounce_nee(
             scene, settings, lights, ps, intersect_fn, occlude_fn,
             enable_textures, allow_nee=ps.depth < settings.max_path_depth - 1,
@@ -144,7 +197,17 @@ def wavefront_step(
     path_done = st.alive & (~ps.alive | exhausted)
 
     lanes = st.pixel.shape[0]
-    idle = path_done | ~st.alive
+    if use_fused_nee:
+        pend_o, pend_d, pend_dist, pend_c, pend_on = pend
+        # a lane whose path dies WITH a fresh pending (RR / pdf-kill after
+        # NEE at its final vertex) is a ZOMBIE: its banking waits one step
+        # for the shadow ray to resolve; zombies from the PREVIOUS step
+        # (resolved above) bank now
+        zombie_prev = ~st.alive & st.sh_active
+        path_done = (path_done & ~pend_on) | zombie_prev
+    # non-zombie dead lanes respawn (sh_active is all-False outside the
+    # fused mode, reducing this to the old path_done | ~alive)
+    idle = path_done | (~st.alive & ~st.sh_active)
     if strided:
         # --- bank into per-lane pixel slots (one-hot, scatter-free) ---
         # acc is [P, 3, L]: the LANE axis must be minor -- an [L,P,3] layout
@@ -265,6 +328,15 @@ def wavefront_step(
         return jnp.where(mask, new, old)
 
     keep_alive = ps.alive & ~path_done
+    if use_fused_nee:
+        sh_o_n = sel(jnp.zeros_like(st.sh_o), jnp.where(pend_on[:, None], pend_o, st.sh_o))
+        sh_d_n = sel(jnp.zeros_like(st.sh_d), jnp.where(pend_on[:, None], pend_d, st.sh_d))
+        sh_dist_n = sel(jnp.zeros_like(st.sh_dist), jnp.where(pend_on, pend_dist, st.sh_dist))
+        sh_c_n = sel(jnp.zeros_like(st.sh_contrib), jnp.where(pend_on[:, None], pend_c, st.sh_contrib))
+        sh_on_n = jnp.where(can_spawn, False, pend_on)
+    else:
+        sh_o_n, sh_d_n = st.sh_o, st.sh_d
+        sh_dist_n, sh_c_n, sh_on_n = st.sh_dist, st.sh_contrib, st.sh_active
     return PoolState(
         pixel=sel(pixel_s, st.pixel),
         ray_o=sel(o_s, ps.ray_o),
@@ -280,6 +352,11 @@ def wavefront_step(
         acc=acc,
         rays=rays,
         work_local=work_local,
+        sh_o=sh_o_n,
+        sh_d=sh_d_n,
+        sh_dist=sh_dist_n,
+        sh_contrib=sh_c_n,
+        sh_active=sh_on_n,
     )
 
 
@@ -291,12 +368,16 @@ def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, ligh
         scene, accel, fused2_block=fused2_block, fused2_sort=fused2_sort,
         fused2_fanout=fused2_fanout,
     )
+    mixed_fn = integrator.make_mixed_sweep_fn(
+        accel, fused2_block=fused2_block, fused2_sort=fused2_sort,
+        fused2_fanout=fused2_fanout,
+    ) if settings.use_nee else None
 
     def body(st, _):
         return wavefront_step(
             scene, settings, st, intersect_fn, enable_textures, work_hi,
             lights=lights, occlude_fn=occlude_fn, env_light=env_light,
-            film_mode=film_mode,
+            film_mode=film_mode, mixed_fn=mixed_fn,
         ), None
 
     st, _ = jax.lax.scan(body, st, None, length=iters)
@@ -306,7 +387,10 @@ def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, ligh
         work_done = (jnp.min(st.work_local) >= slice_items).astype(jnp.int32)
     else:
         work_done = (st.work_counter >= work_hi).astype(jnp.int32)
-    status = jnp.stack([work_done, jnp.any(st.alive).astype(jnp.int32)])
+    # a pending shadow ray (deferred NEE) keeps the frame alive: its zombie
+    # lane still has an unbanked contribution to resolve
+    busy = jnp.any(st.alive | st.sh_active).astype(jnp.int32)
+    status = jnp.stack([work_done, busy])
     return st, status
 
 
@@ -421,4 +505,9 @@ def new_pool(
         ),
         rays=jnp.int32(0),
         work_local=jnp.zeros((lanes,), jnp.int32),
+        sh_o=jnp.zeros((lanes, 3), jnp.float32),
+        sh_d=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (lanes, 3)),
+        sh_dist=jnp.zeros((lanes,), jnp.float32),
+        sh_contrib=jnp.zeros((lanes, 3), jnp.float32),
+        sh_active=jnp.zeros((lanes,), bool),
     )

@@ -158,3 +158,32 @@ def test_fanout_widths_agree(setup, fanout):
     occ1 = f2.fused2_occluded(o, d, fbm, interpret=True, fanout=1)
     occw = f2.fused2_occluded(o, d, fbm, interpret=True, fanout=fanout)
     np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occw))
+
+
+def test_mixed_sweep_matches_separate(setup):
+    """ONE mixed sweep (per-lane any-hit, round 4) == the separate
+    closest-hit and occlusion sweeps, including the shadow lanes' t_max
+    (light-distance) semantics."""
+    fb, verts, idx, o, d, r = setup
+    n = o.shape[0]
+    shadow = jnp.asarray(r.random(n) < 0.5)
+    tmax = jnp.where(shadow, jnp.asarray(r.uniform(2.0, 20.0, n), jnp.float32), 1e10)
+    rec_m, blob_m, occ_m = f2.fused2_sweep_mixed(
+        o, d, tmax, shadow, fb, interpret=True
+    )
+    rec_s, blob_s = f2.fused2_closest_hit(o, d, fb, t_max=tmax, interpret=True)
+    occ_s = f2.fused2_occluded(o, d, fb, t_max=tmax, interpret=True)
+    ns = ~np.asarray(shadow)
+    np.testing.assert_array_equal(np.asarray(rec_m.tri)[ns], np.asarray(rec_s.tri)[ns])
+    np.testing.assert_allclose(
+        np.asarray(rec_m.t)[ns], np.asarray(rec_s.t)[ns], rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(blob_m)[ns], np.asarray(blob_s)[ns])
+    sh = np.asarray(shadow)
+    np.testing.assert_array_equal(np.asarray(occ_m)[sh], np.asarray(occ_s)[sh])
+    # sorted path too (the production configuration)
+    rec_m2, _, occ_m2 = f2.fused2_sweep_mixed(
+        o, d, tmax, shadow, fb, interpret=True, sort=True
+    )
+    np.testing.assert_array_equal(np.asarray(rec_m2.tri)[ns], np.asarray(rec_s.tri)[ns])
+    np.testing.assert_array_equal(np.asarray(occ_m2)[sh], np.asarray(occ_s)[sh])

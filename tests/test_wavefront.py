@@ -143,3 +143,34 @@ def test_sorted_render_matches_unsorted():
         scene, s, accel=fb, lanes=512, iters_per_launch=4, fused2_sort=False)
     np.testing.assert_allclose(img_sorted, img_plain, rtol=1e-5, atol=1e-6)
     assert rays_a == rays_b
+
+
+def test_fused_deferred_nee_matches_separate_occlusion():
+    """The fused mixed-sweep NEE wavefront (round 4: bounce + previous-vertex
+    shadow rays in ONE fused2 kernel sweep, shadow resolution deferred one
+    step) is estimator-IDENTICAL to the separate-occlusion path: same work
+    ids, same RNG draws, same contributions -- only the film arrival of each
+    NEE term moves one step later.  Cluster accel (no mixed kernel) forces
+    the old path; fused2 takes the fused one."""
+    from test_nee import box_with_light
+
+    scene = box_with_light()
+    s = RenderSettings(width=16, height=16, max_samples=16, max_path_depth=3,
+                       environment_intensity=0.0, environment_color=(0, 0, 0),
+                       use_nee=True)
+    accel_cl = film_mod.make_accel(scene, "cluster", cluster_size=64)
+    accel_f2 = film_mod.make_accel(scene, "fused2", cluster_size=64)
+    img_sep, rays_sep = wf.render_image_wavefront(
+        scene, s, accel=accel_cl, lanes=1024, iters_per_launch=8
+    )
+    img_fused, rays_fused = wf.render_image_wavefront(
+        scene, s, accel=accel_f2, lanes=1024, iters_per_launch=8
+    )
+    assert rays_sep == rays_fused
+    np.testing.assert_allclose(img_fused, img_sep, rtol=1e-4, atol=1e-5)
+    # and the sorted production configuration agrees too
+    img_fs, _ = wf.render_image_wavefront(
+        scene, s, accel=accel_f2, lanes=1024, iters_per_launch=8,
+        fused2_sort=True,
+    )
+    np.testing.assert_allclose(img_fs, img_sep, rtol=1e-4, atol=1e-5)
