@@ -58,11 +58,18 @@ MAX_STEPS = 512
 # incoherent blocks, at one extra [B,K] slab pass per interval
 REFRESH_CLUSTERS = 8
 
-# attr plane row layout (16 rows x C lanes per cluster)
+# attr plane row layout (32 rows x C lanes per cluster, f32 always)
 #   0:3 n0.xyz   3:6 n1.xyz   6:9 n2.xyz
 #   9:11 tc0.uv  11:13 tc1.uv 13:15 tc2.uv
 #   15  material id (exact small-int f32)
-ATTR_ROWS = 16
+#   16  tri id (exact f32 < 2^24) -- the winner pick rides the attr matmul,
+#       removing the per-iteration [B,cc] tid pick from the retirement loop
+#   17:20 p0.xyz  20:23 e1.xyz  23:26 e2.xyz -- winner GEOMETRY: the final
+#       (t, u, v) are recomputed once per block from these after the loop,
+#       removing the per-iteration ua/vb picks too (round-4 lean winner);
+#       also what makes bf16 planes report f32-exact hit geometry
+#   26:32 zero padding (f32 sublane multiple)
+ATTR_ROWS = 32
 
 # best-state column layout of the [B,16] kernel scratch / out[:, :16]
 #   0 t   1 u   2 v   3 tri(f32)   4 hit   5 resolved   6 steps
@@ -77,16 +84,17 @@ class Fused2BVH(NamedTuple):
     # (Moller-Trumbore as ONE matmul; tid stored in row 10 of group 0, which
     # multiplies a zero ray-feature row).  Optionally bf16 (build_fused2
     # plane_dtype): halves plane DMA bytes and runs the MT matmul at the
-    # MXU's native bf16 rate; hit t/u/v then carry ~0.5e-2 relative input
-    # rounding (under spp-64 Monte-Carlo noise -- opt-in throughput mode,
-    # f32 stays the exactness default).  bf16 cannot hold tri ids > 256
-    # exactly, so the bf16 build stores the id as three 8-bit DIGIT rows
-    # (10=hi, 11=mid, 12=lo, each in {-1, 0..255} -- exact in bf16; padding
-    # slots are all -1 so the recomposed id stays negative) that the kernel
-    # recomposes with two fused multiply-adds.
+    # MXU's native bf16 rate; the in-loop pruning t then carries ~0.5e-2
+    # relative input rounding (under spp-64 Monte-Carlo noise -- opt-in
+    # throughput mode, f32 stays the exactness default), while the OUTPUT
+    # t/u/v and tri id come from the f32 attrs planes (winner geometry
+    # replay), so bf16 only perturbs which near-tie candidate wins, not the
+    # reported hit.  bf16 closest-hit therefore requires with_attrs=True
+    # (the production configuration); the in-plane tid row is only read on
+    # the f32 with_attrs=False probe path.
     planes: jnp.ndarray
-    attrs: jnp.ndarray  # [K,16,C]: shading payload planes (row layout above)
-    attr_table: jnp.ndarray  # [T,16] same payload by tri id (fallback/grad path)
+    attrs: jnp.ndarray  # [K,ATTR_ROWS,C]: shading payload planes (row layout above)
+    attr_table: jnp.ndarray  # [T,ATTR_ROWS] same payload by tri id (fallback/grad path)
     bounds: jnp.ndarray  # [2,3] scene AABB (ray-sort key quantization)
     cluster: ClusterBVH  # exact XLA fallback path
 
@@ -103,9 +111,7 @@ class Fused2BVH(NamedTuple):
         return self.planes.shape[2] == 4 * self.attrs.shape[2]
 
 
-def _mxu_features(
-    tri_planes: np.ndarray, tid: np.ndarray, digits: bool = False
-) -> np.ndarray:
+def _mxu_features(tri_planes: np.ndarray, tid: np.ndarray) -> np.ndarray:
     """Per-triangle Moller-Trumbore FEATURE matrix for the MXU path.
 
     With ray features R = [d(3), m=oxd(3), o(3), 1, 0...] ([B,16]) and per-
@@ -129,14 +135,7 @@ def _mxu_features(
     f = np.zeros((kk, 16, 4 * c), np.float32)
     # group 0: det = d.(e2 x e1)
     f[:, 0:3, 0:c] = np.cross(e2, e1).transpose(0, 2, 1)
-    if digits:
-        ti = tid.astype(np.int64)
-        neg = ti < 0
-        f[:, 10, 0:c] = np.where(neg, -1, ti // 65536)
-        f[:, 11, 0:c] = np.where(neg, -1, (ti // 256) % 256)
-        f[:, 12, 0:c] = np.where(neg, -1, ti % 256)
-    else:
-        f[:, 10, 0:c] = tid
+    f[:, 10, 0:c] = tid
     # group 1: u*det = e2.m - (e2 x p0).d
     f[:, 0:3, c : 2 * c] = -np.cross(e2, p0).transpose(0, 2, 1)
     f[:, 3:6, c : 2 * c] = e2.transpose(0, 2, 1)
@@ -178,9 +177,7 @@ def build_fused2(
     tid = np.asarray(cb.tri_id)  # [K,C], -1 = padding
     assert tid.max() < (1 << 24), "tri ids exceed exact f32 range"
     if mxu:
-        planes = _mxu_features(
-            np.asarray(cb.tri_planes), tid.astype(np.float32), digits=bf16
-        )
+        planes = _mxu_features(np.asarray(cb.tri_planes), tid.astype(np.float32))
     else:
         planes = np.zeros((k, 16, c), np.float32)
         planes[:, 0:9] = np.asarray(cb.tri_planes)
@@ -202,9 +199,16 @@ def build_fused2(
         attr_table[:, 3 * v_i : 3 * v_i + 3] = nrm[tri_idx[:, v_i]]
         attr_table[:, 9 + 2 * v_i : 11 + 2 * v_i] = tc[tri_idx[:, v_i]]
     attr_table[:, 15] = np.asarray(tri_mat, np.float32)
+    attr_table[:, 16] = np.arange(t_count, dtype=np.float32)
+    # winner-geometry rows come from the SAME plane arrays the cluster
+    # intersector reads (not re-derived from vertices): the native builder's
+    # p0/e1/e2 bits are the exactness contract the replay must reproduce
+    tp = np.asarray(cb.tri_planes).transpose(0, 2, 1)  # [K,C,9]
+    valid = tid >= 0
+    attr_table[tid[valid], 17:26] = tp[valid]
 
     safe = np.maximum(tid, 0)
-    attrs = attr_table[safe].transpose(0, 2, 1).copy()  # [K,16,C]
+    attrs = attr_table[safe].transpose(0, 2, 1).copy()  # [K,ATTR_ROWS,C]
 
     bounds = np.stack([vertices.min(0), vertices.max(0)]).astype(np.float32)
     return Fused2BVH(
@@ -338,7 +342,7 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
     best_ref[:, 7:8] = zeros - 1.0  # winner cluster
     best_ref[:, 8:9] = zeros - 1.0  # winner slot
     best_ref[:, 9:16] = jnp.zeros((b, 7), jnp.float32)
-    attr_ref[:, :] = jnp.zeros((b, 16), jnp.float32)
+    attr_ref[:, :] = jnp.zeros((b, ATTR_ROWS), jnp.float32)
     fetch_attrs = with_attrs and not any_hit
 
     cc = c * fanout  # triangle columns intersected per loop iteration
@@ -509,23 +513,14 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                         axis=1,
                     )  # [B, cc]
 
-                if bf16:
-                    # recompose the 24-bit tri id from its three exact
-                    # 8-bit digit rows (padding digits are all -1 -> the
-                    # recomposed id is negative and fails the tid test)
-                    tid = (
-                        degroup(pb[10:11], 0).astype(jnp.float32) * 65536.0
-                        + degroup(pb[11:12], 0).astype(jnp.float32) * 256.0
-                        + degroup(pb[12:13], 0).astype(jnp.float32)
-                    )
-                else:
-                    tid = degroup(pb[10:11], 0)
                 det = degroup(out4, 0)
                 sgn = jnp.where(det < 0.0, -1.0, 1.0)
                 dd = det * sgn  # |det|
                 ua = degroup(out4, 1) * sgn  # u*|det|
                 vb = degroup(out4, 2) * sgn  # v*|det|
                 tcd = degroup(out4, 3) * sgn  # t*|det|
+                # NB: no tid >= 0 term -- padding slots have all-zero planes
+                # (ops/cluster.py pads) so dd >= eps already excludes them
                 ok = (
                     (dd >= 1e-12)
                     & (ua >= 0.0)
@@ -533,7 +528,6 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                     & (ua + vb <= dd)
                     & (tcd > dd * t_min)
                     & (tcd < dd * best_ref[:, 0:1])
-                    & (tid >= 0.0)
                     & fresh_cols
                 )
             else:
@@ -574,20 +568,27 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                 pick = lambda x: jnp.sum(
                     jnp.where(onehot, x, 0.0), axis=-1, keepdims=True
                 )
-                if mxu:
-                    dd_w = pick(dd)
-                    dd_w = jnp.where(dd_w < 1e-12, 1.0, dd_w)
-                    u = pick(ua) / dd_w
-                    v = pick(vb) / dd_w
-                else:
-                    u = pick(u)
-                    v = pick(v)
                 best_ref[:, 0:1] = jnp.where(better, tc, best_ref[:, 0:1])
-                best_ref[:, 1:2] = jnp.where(better, u, best_ref[:, 1:2])
-                best_ref[:, 2:3] = jnp.where(better, v, best_ref[:, 2:3])
-                best_ref[:, 3:4] = jnp.where(
-                    better, pick(jnp.broadcast_to(tid, (b, cc))), best_ref[:, 3:4]
-                )
+                if not fetch_attrs:
+                    # probe path: winner u/v/tid picked full-width here.
+                    # The production (fetch_attrs) path gets tid from the
+                    # attr matmul below and (t,u,v) from the post-loop
+                    # winner-geometry replay -- 6 fewer [B,cc] passes per
+                    # retirement (round-4 lean winner).
+                    if mxu:
+                        tid = degroup(pb[10:11], 0)
+                        dd_w = pick(dd)
+                        dd_w = jnp.where(dd_w < 1e-12, 1.0, dd_w)
+                        u = pick(ua) / dd_w
+                        v = pick(vb) / dd_w
+                    else:
+                        u = pick(u)
+                        v = pick(v)
+                    best_ref[:, 1:2] = jnp.where(better, u, best_ref[:, 1:2])
+                    best_ref[:, 2:3] = jnp.where(better, v, best_ref[:, 2:3])
+                    best_ref[:, 3:4] = jnp.where(
+                        better, pick(jnp.broadcast_to(tid, (b, cc))), best_ref[:, 3:4]
+                    )
                 best_ref[:, 4:5] = jnp.where(better, 1.0, best_ref[:, 4:5])
                 # winner cluster id: map the winning column's group slot back
                 # to that slot's cluster id (scalar broadcasts)
@@ -615,13 +616,36 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                     # payload columns; 0 * NaN = NaN survives the matmul SUM,
                     # so zero stale columns first (the old where-fold masked
                     # this implicitly)
+                    # the TPU's DEFAULT f32 matmul runs ONE bf16 pass,
+                    # which would round the attr payload (and the tri id!) to 8 mantissa
+                    # bits.  Splitting the [ATTR_ROWS,cc] operand into three
+                    # exact bf16 terms (f32 = hi+mid+lo, 8 bits each) and
+                    # summing three native-bf16 matmuls reconstructs every
+                    # one-hot row copy EXACTLY (oh_b is 0/1 = bf16-exact;
+                    # each product is a single exact term in the f32
+                    # accumulator) at ~1/3 the cost of Precision.HIGHEST
+                    # (measured -11% end-to-end) -- the split runs on the
+                    # small [ATTR_ROWS,cc] side, not per ray.
                     ab = jnp.where(fresh_cols, abuf_ref[slot], 0.0)
-                    val = jax.lax.dot_general(
-                        oh_b, ab,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [B,16]
+                    oh16 = oh_b.astype(jnp.bfloat16)
+                    hi = ab.astype(jnp.bfloat16)
+                    r1 = ab - hi.astype(jnp.float32)
+                    md = r1.astype(jnp.bfloat16)
+                    lo = (r1 - md.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dn = (((1,), (1,)), ((), ()))
+                    val = (
+                        jax.lax.dot_general(
+                            oh16, hi, dn, preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            oh16, md, dn, preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            oh16, lo, dn, preferred_element_type=jnp.float32)
+                    )  # [B,ATTR_ROWS]
                     attr_ref[:, :] = jnp.where(better, val, attr_ref[:, :])
+                    # winner tri id rides the same matmul (attr row 16)
+                    best_ref[:, 3:4] = jnp.where(
+                        better, val[:, 16:17], best_ref[:, 3:4]
+                    )
                 if mixed:
                     # shadow lane with ANY recorded hit terminates: t -> t_min
                     # removes it from the prune bound and from further hit
@@ -657,8 +681,27 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
     unres = (fin_done == 0) & (nearest < block_pmax())
     best_ref[:, 5:6] = jnp.where(unres, 0.0, best_ref[:, 5:6])
 
+    if fetch_attrs:
+        # winner-geometry replay: output (t, u, v) recomputed ONCE per block
+        # from the winner's p0/e1/e2 attr rows with the canonical
+        # mt_components op order -- bit-equal to the XLA cluster intersector
+        # for the same winner, and f32-exact even under bf16 planes.  The
+        # in-loop tc (matmul-rounded) only steered pruning/winner choice.
+        hitm = best_ref[:, 4:5] > 0.0
+        gp = lambda i: attr_ref[:, i : i + 1]
+        t3, u3, v3, ok3 = mt_components(
+            (ox, oy, oz), (dx, dy, dz),
+            (gp(17), gp(18), gp(19)), (gp(20), gp(21), gp(22)),
+            (gp(23), gp(24), gp(25)),
+            t_min, jnp.full((b, 1), jnp.inf, jnp.float32),
+        )
+        use3 = hitm & ok3  # knife-edge replays keep the in-loop values
+        best_ref[:, 0:1] = jnp.where(use3, t3, best_ref[:, 0:1])
+        best_ref[:, 1:2] = jnp.where(use3, u3, best_ref[:, 1:2])
+        best_ref[:, 2:3] = jnp.where(use3, v3, best_ref[:, 2:3])
+
     out_ref[0, :, 0:16] = best_ref[:, :]
-    out_ref[0, :, 16:32] = attr_ref[:, :]
+    out_ref[0, :, 16:32] = attr_ref[:, 0:16]
 
 
 @partial(jax.jit, static_argnames=("interpret", "block", "max_steps", "with_attrs", "any_hit", "fanout"))
@@ -717,6 +760,11 @@ def fused2_traverse_packed(
     if not mxu:
         fanout = 1  # legacy component layout supports single-cluster groups only
     bf16 = fb.planes.dtype == jnp.bfloat16
+    # bf16 closest-hit needs the f32 attrs planes for exact tri id + winner
+    # geometry; the no-attrs probe path reads the (bf16-rounded) in-plane tid
+    assert not bf16 or with_attrs or any_hit, (
+        "bf16 planes require with_attrs=True for closest-hit sweeps"
+    )
     n = rays.shape[0]
     k = fb.num_clusters
     c = fb.cluster_size
@@ -739,9 +787,9 @@ def fused2_traverse_packed(
         scratch_shapes=[
             pltpu.VMEM((1, k), jnp.float32),
             pltpu.VMEM((2, 16, (4 * c if mxu else c) * fanout), fb.planes.dtype),
-            pltpu.VMEM((2, 16, c * fanout), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, c * fanout), jnp.float32),
             pltpu.VMEM((block, 16), jnp.float32),
-            pltpu.VMEM((block, 16), jnp.float32),
+            pltpu.VMEM((block, ATTR_ROWS), jnp.float32),
             pltpu.SemaphoreType.DMA((2, fanout)),
             pltpu.SemaphoreType.DMA((2, fanout)),
             pltpu.SMEM((2 + 2 * fanout,), jnp.int32),
@@ -870,7 +918,7 @@ def fused2_closest_hit(
         rec = cluster_closest_hit(
             ray_o, ray_d, fb.cluster, t_min=t_min, t_max=t_max
         )
-        fb_blob = fb.attr_table[jnp.maximum(rec.tri, 0)]
+        fb_blob = fb.attr_table[jnp.maximum(rec.tri, 0)][:, :16]
         keep = resolved
         return (
             jnp.where(keep, t, rec.t),
@@ -956,7 +1004,14 @@ def fused2_sweep_mixed(
 
     rays = pack_rays(ray_o_p, ray_d_p, t_max_p, shadow=shadow_p)
     if sort:
+        # shadow flag is the TOP key bit: blocks stay PURE bounce or pure
+        # shadow, preserving the any-hit early exit (an occluded shadow
+        # block retires immediately; mixed blocks would pin shadow lanes to
+        # their bounce neighbors' full closest-hit duration -- measured 33%
+        # slower on cornell NEE).  Within each class the usual coherence
+        # key applies, so shadow rays from one cell still share blocks.
         keys = ray_sort_keys(ray_o_p, ray_d_p, fb.bounds)
+        keys = keys | jnp.where(shadow_p, jnp.int32(1) << 30, 0)
         perm = jnp.argsort(keys, stable=True)
         out = fused2_traverse_packed(
             rays[perm], fb, interpret=interpret, block=block,
@@ -985,7 +1040,7 @@ def fused2_sweep_mixed(
             ray_o, ray_d, fb.cluster, t_min=t_min, t_max=t_max
         )
         occ = cluster_occluded(ray_o, ray_d, fb.cluster, t_min=t_min, t_max=t_max)
-        fb_blob = fb.attr_table[jnp.maximum(rec.tri, 0)]
+        fb_blob = fb.attr_table[jnp.maximum(rec.tri, 0)][:, :16]
         keep = resolved
         return (
             jnp.where(keep, t, rec.t),

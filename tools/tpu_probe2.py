@@ -230,7 +230,7 @@ def probe_wavestep(args):
                 t=jnp.full(o.shape[:1], 2.0), tri=jnp.zeros(o.shape[:1], jnp.int32),
                 uv=jnp.full(o.shape[:1] + (2,), 0.3),
             ),
-            jnp.broadcast_to(fb.attr_table[0], o.shape[:1] + (16,)),
+            jnp.broadcast_to(fb.attr_table[0][:16], o.shape[:1] + (16,)),
         ),
     }
     for name, isect in variants.items():
