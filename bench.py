@@ -54,7 +54,7 @@ def run_config(args, scene_name, size, spp, depth, nee=False):
         kw = dict(
             accel=accel, lanes=args.lanes, fused2_block=args.fused2_block,
             fused2_sort=not args.no_sort, readback_f16=args.readback_f16,
-            iters_per_launch=args.iters_per_launch,
+            iters_per_launch=args.iters_per_launch, fused_nee=args.fused_nee,
         )
         # warm-up/compile with the IDENTICAL static config (spp is static in
         # the jitted chunk, so a different-spp warm-up would not prime the
@@ -115,6 +115,12 @@ def main():
     ap.add_argument("--nee", action="store_true",
                     help="bench the NEE+MIS estimator (doubles traversal with "
                          "any-hit shadow rays)")
+    ap.add_argument("--fused-nee", dest="fused_nee", action="store_true",
+                    default=False,
+                    help="trace NEE shadow rays inside the deferred mixed "
+                         "kernel sweep (measured 26%% slower than the default "
+                         "separate any-hit sweep on cornell NEE -- kept as an "
+                         "A/B knob; docs/PERF.md round 4)")
     ap.add_argument("--no-trend", action="store_true",
                     help="skip the frozen secondary trend config")
     ap.add_argument(

@@ -360,8 +360,8 @@ def wavefront_step(
     )
 
 
-@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters", "fused2_block", "film_mode", "fused2_sort", "fused2_fanout"))
-def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None, film_mode="auto", fused2_sort=False, fused2_fanout=None):
+@partial(jax.jit, static_argnames=("settings", "enable_textures", "iters", "fused2_block", "film_mode", "fused2_sort", "fused2_fanout", "fused_nee"))
+def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None, film_mode="auto", fused2_sort=False, fused2_fanout=None, fused_nee=False):
     """``iters`` wavefront steps.  ``work_hi`` is traced (per-shard bound when
     the pool runs under shard_map); accel dispatch is by python type."""
     intersect_fn, occlude_fn = integrator.make_intersectors(
@@ -371,7 +371,7 @@ def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, ligh
     mixed_fn = integrator.make_mixed_sweep_fn(
         accel, fused2_block=fused2_block, fused2_sort=fused2_sort,
         fused2_fanout=fused2_fanout,
-    ) if settings.use_nee else None
+    ) if (settings.use_nee and fused_nee) else None
 
     def body(st, _):
         return wavefront_step(
@@ -407,6 +407,7 @@ def render_image_wavefront(
     fused2_sort: bool = False,
     fused2_fanout: int | None = None,
     readback_f16: bool = False,
+    fused_nee: bool = False,
 ) -> tuple:
     """Full-frame render via the persistent pool.
 
@@ -458,7 +459,7 @@ def render_image_wavefront(
             scene, settings, st, accel, enable_textures, jnp.int32(total_work),
             iters_per_launch, lights, env_light, fused2_block=fused2_block,
             film_mode=film_mode, fused2_sort=fused2_sort,
-            fused2_fanout=fused2_fanout,
+            fused2_fanout=fused2_fanout, fused_nee=fused_nee,
         )
         if prev_status is not None:
             ps = np.asarray(prev_status)

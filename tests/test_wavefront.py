@@ -164,13 +164,14 @@ def test_fused_deferred_nee_matches_separate_occlusion():
         scene, s, accel=accel_cl, lanes=1024, iters_per_launch=8
     )
     img_fused, rays_fused = wf.render_image_wavefront(
-        scene, s, accel=accel_f2, lanes=1024, iters_per_launch=8
+        scene, s, accel=accel_f2, lanes=1024, iters_per_launch=8,
+        fused_nee=True,
     )
     assert rays_sep == rays_fused
     np.testing.assert_allclose(img_fused, img_sep, rtol=1e-4, atol=1e-5)
     # and the sorted production configuration agrees too
     img_fs, _ = wf.render_image_wavefront(
         scene, s, accel=accel_f2, lanes=1024, iters_per_launch=8,
-        fused2_sort=True,
+        fused2_sort=True, fused_nee=True,
     )
     np.testing.assert_allclose(img_fs, img_sep, rtol=1e-4, atol=1e-5)
