@@ -97,9 +97,12 @@ def main():
     ap.add_argument(
         "--intersector",
         choices=["fused2", "fused2-bf16", "fused", "cluster", "bvh", "brute"],
-        default="fused2",
-        help="fused2 = fat-cluster pipelined Pallas traversal (production); "
-             "fused2-bf16 = bfloat16 triangle planes (throughput mode)",
+        default="fused2-bf16",
+        help="fused2-bf16 (default) = fat-cluster pipelined Pallas traversal "
+             "with bfloat16 triangle planes -- BIT-IDENTICAL hardware images "
+             "to fused2 (the TPU f32 matmul already rounds identically; "
+             "docs/PERF.md bf16_quality probe) at half the plane DMA; "
+             "fused2 = f32 planes (CPU-exact mode the tests pin)",
     )
     ap.add_argument("--pixel-chunk", type=int, default=65536)
     ap.add_argument("--renderer", choices=["wavefront", "scan"], default="wavefront")
