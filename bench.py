@@ -149,8 +149,12 @@ def main():
 
     # frozen trend config: NEVER change these numbers (round-over-round line)
     if not args.no_trend and args.scene == "dragon":
+        import copy
+
         trend_scene = generate.ensure_dragon(6)
-        t_mrays, t_label = run_config(args, trend_scene, 512, 4, args.depth)
+        targs = copy.copy(args)
+        targs.intersector = "fused2"  # frozen: f32, regardless of the default
+        t_mrays, t_label = run_config(targs, trend_scene, 512, 4, args.depth)
         print(json.dumps({
             "metric": f"trend Mrays/s (frozen: {t_label})",
             "value": round(t_mrays, 3),
