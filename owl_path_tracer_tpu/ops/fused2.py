@@ -304,7 +304,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
     # biggest scratch, and tiling makes phase-A VMEM independent of K -- the
     # flat cluster list then scales to 1M-triangle scenes (K~2.7k at C=512
     # hit the 16 MB scoped-vmem limit with un-tiled [B,K] temps). ──
-    tile_k = min(k, 1024)
+    # phase-A K-tile: [b, tile_k] slab temps are the kernel's biggest
+    # scratch; halve the tile for b>256 so block-512 sweeps fit the 24MB
+    # scoped-vmem budget (b=512 at tile 1024 measured 24.8MB)
+    tile_k = min(k, 1024 if b <= 256 else 512)
 
     def frontier(cap):
         """[1,K] block frontier: min over rays of box entry, counting only
