@@ -698,7 +698,19 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
             (gp(23), gp(24), gp(25)),
             t_min, jnp.full((b, 1), jnp.inf, jnp.float32),
         )
-        use3 = hitm & ok3  # knife-edge replays keep the in-loop values
+        # the replay is AUTHORITATIVE whenever the winner's determinant is
+        # non-degenerate -- gating on ok3's u/v/t window tests would make
+        # the output value compilation-dependent at knife edges (the
+        # in-loop fallback t is matmul-rounded, ~0.4% off the replay; the
+        # window verdict itself can flip with Mosaic-vs-interpret FMA
+        # fusion).  Degenerate-det winners (grazing) keep the in-loop value.
+        e1x_, e1y_, e1z_ = gp(20), gp(21), gp(22)
+        e2x_, e2y_, e2z_ = gp(23), gp(24), gp(25)
+        hx = dy * e2z_ - dz * e2y_
+        hy = dz * e2x_ - dx * e2z_
+        hz = dx * e2y_ - dy * e2x_
+        det3 = e1x_ * hx + e1y_ * hy + e1z_ * hz
+        use3 = hitm & (jnp.abs(det3) > 1e-12)
         best_ref[:, 0:1] = jnp.where(use3, t3, best_ref[:, 0:1])
         best_ref[:, 1:2] = jnp.where(use3, u3, best_ref[:, 1:2])
         best_ref[:, 2:3] = jnp.where(use3, v3, best_ref[:, 2:3])
