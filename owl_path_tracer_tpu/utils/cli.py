@@ -160,9 +160,11 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=None, help="square buffer override")
     ap.add_argument(
         "--intersector",
-        choices=["brute", "bvh", "cluster", "fused", "fused2"],
+        choices=["brute", "bvh", "cluster", "fused", "fused2", "fused2-bf16"],
         default="cluster",
-        help="fused2 = production single-kernel Pallas traversal",
+        help="fused2-bf16 = production single-kernel Pallas traversal "
+             "(bfloat16 planes, bit-identical hardware images to fused2; "
+             "docs/PERF.md); cluster default keeps CLI smoke runs CPU-fast",
     )
     ap.add_argument("--cluster-size", type=int, default=None,
                     help="tris per cluster (default: 128; 512 for fused2)")
