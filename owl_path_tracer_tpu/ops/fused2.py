@@ -57,6 +57,9 @@ MAX_STEPS = 512
 # probes can ablate per process): smaller = tighter per-ray pruning for
 # incoherent blocks, at one extra [B,K] slab pass per interval
 REFRESH_CLUSTERS = 8
+# phase-A K-tile width (module constant so probes can ablate): smaller tiles
+# skip more dead slab work on large-K scenes at one scalar branch per tile
+PHASE_TILE_K = 1024
 
 # attr plane row layout (32 rows x C lanes per cluster, f32 always)
 #   0:3 n0.xyz   3:6 n1.xyz   6:9 n2.xyz
@@ -307,33 +310,82 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
     # phase-A K-tile: [b, tile_k] slab temps are the kernel's biggest
     # scratch; halve the tile for b>256 so block-512 sweeps fit the 24MB
     # scoped-vmem budget (b=512 at tile 1024 measured 24.8MB)
-    tile_k = min(k, 1024 if b <= 256 else 512)
-
-    def frontier(cap):
-        """[1,K] block frontier: min over rays of box entry, counting only
-        entries a ray still needs (entry < that ray's cap)."""
-        parts = []
+    tile_k = min(k, PHASE_TILE_K if b <= 256 else 512)
+    n_tiles = (k + tile_k - 1) // tile_k
+    multi_tile = n_tiles > 1
+    if multi_tile:
+        # per-tile enclosing AABBs (pads excluded -- they sit at +inf), used
+        # to GATE each tile's [B,tile_k] slab behind a whole-tile test: at
+        # dragon8 scale (K=2688, 3 tiles) phase A + refreshes were ~40% of
+        # an incoherent step, and a mid-frame block typically needs ONE tile
+        tile_lo, tile_hi = [], []
         for k0 in range(0, k, tile_k):
             kk = min(tile_k, k - k0)
-            tn = jnp.full((b, kk), -jnp.inf, jnp.float32)
-            tf = jnp.full((b, kk), jnp.inf, jnp.float32)
-            for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
-                bmin = boxes_ref[a : a + 1, k0 : k0 + kk]  # [1,kk]
+            los, his = [], []
+            for a in range(3):
+                bmin = boxes_ref[a : a + 1, k0 : k0 + kk]
                 bmax = boxes_ref[3 + a : 4 + a, k0 : k0 + kk]
-                oi = oa * ia  # [B,1]
-                t0 = ia * bmin - oi  # [B,kk]
-                t1 = ia * bmax - oi
-                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-            t_enter = jnp.maximum(tn, t_min)
-            need = (t_enter <= jnp.minimum(tf, tmax)) & (t_enter < cap)
-            parts.append(
-                jnp.min(jnp.where(need, t_enter, jnp.inf), axis=0, keepdims=True)
-            )
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+                los.append(jnp.min(jnp.where(bmin < 1e30, bmin, jnp.inf)))
+                his.append(jnp.max(jnp.where(bmax < 1e30, bmax, -jnp.inf)))
+            tile_lo.append(los)
+            tile_hi.append(his)
 
-    # cap = tmax is exact: a valid hit needs t < tmax and entry <= t
-    bent_ref[:, :] = frontier(tmax)
+    def frontier_update(cap):
+        """Merge the fresh [1,K] block frontier into bent_ref: min over rays
+        of box entry, counting only entries a ray still needs (entry < that
+        ray's cap); already-retired (inf) clusters stay retired.  Multi-tile
+        scenes skip a whole tile's slab when NO ray enters the tile's
+        enclosing AABB under its cap (a dead tile then costs ~20 VPU ops +
+        one scalar branch instead of the [B,tile_k] sweep)."""
+        for ti, k0 in enumerate(range(0, k, tile_k)):
+            kk = min(tile_k, k - k0)
+            old = bent_ref[:, k0 : k0 + kk]
+
+            def compute_tile(k0=k0, kk=kk, old=old):
+                tn = jnp.full((b, kk), -jnp.inf, jnp.float32)
+                tf = jnp.full((b, kk), jnp.inf, jnp.float32)
+                for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
+                    bmin = boxes_ref[a : a + 1, k0 : k0 + kk]  # [1,kk]
+                    bmax = boxes_ref[3 + a : 4 + a, k0 : k0 + kk]
+                    oi = oa * ia  # [B,1]
+                    t0 = ia * bmin - oi  # [B,kk]
+                    t1 = ia * bmax - oi
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                t_enter = jnp.maximum(tn, t_min)
+                need = (t_enter <= jnp.minimum(tf, tmax)) & (t_enter < cap)
+                fresh = jnp.min(
+                    jnp.where(need, t_enter, jnp.inf), axis=0, keepdims=True
+                )
+                bent_ref[:, k0 : k0 + kk] = jnp.where(
+                    old == jnp.inf, jnp.inf, fresh
+                )
+
+            if not multi_tile:
+                compute_tile()
+            else:
+                lo, hi = tile_lo[ti], tile_hi[ti]
+                tn1 = jnp.full((b, 1), -jnp.inf, jnp.float32)
+                tf1 = jnp.full((b, 1), jnp.inf, jnp.float32)
+                for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
+                    t0 = ia * lo[a] - oa * ia
+                    t1 = ia * hi[a] - oa * ia
+                    tn1 = jnp.maximum(tn1, jnp.minimum(t0, t1))
+                    tf1 = jnp.minimum(tf1, jnp.maximum(t0, t1))
+                e_t = jnp.maximum(tn1, t_min)
+                tile_hit = jnp.any(
+                    (e_t <= jnp.minimum(tf1, tmax)) & (e_t < cap)
+                )
+                bent_ref[:, k0 : k0 + kk] = jnp.full((1, kk), jnp.inf)
+
+                @pl.when(tile_hit)
+                def _():
+                    compute_tile()
+
+    # cap = tmax is exact: a valid hit needs t < tmax and entry <= t.
+    # Prefill 0 (non-inf) so the merge semantics treat everything as live.
+    bent_ref[:, :] = jnp.zeros((1, k), jnp.float32)
+    frontier_update(tmax)
 
     zeros = jnp.zeros((b, 1), jnp.float32)
     best_ref[:, 0:1] = tmax
@@ -474,10 +526,7 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                     )
                 else:
                     cap = best_ref[:, 0:1]
-                fresh = frontier(cap)
-                bent_ref[:, :] = jnp.where(
-                    bent_ref[:, :] == jnp.inf, jnp.inf, fresh
-                )
+                frontier_update(cap)
 
             slot = jax.lax.rem(i, 2)
             cur_ids = load_group(slot)

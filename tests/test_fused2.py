@@ -253,3 +253,23 @@ def test_bf16_planes_mode(setup):
     rb, _ = f2.fused2_closest_hit(os_, ds_, s16, interpret=True)
     agree = np.asarray(ra.tri) == np.asarray(rb.tri)
     assert agree.mean() > 0.99, agree.mean()
+
+
+def test_multi_tile_phase_a():
+    """K > tile_k engages the gated multi-tile phase A (round 4: whole-tile
+    AABB tests skip dead [B,tile_k] slabs for dragon8-scale scenes).  Must
+    stay exact vs the cluster intersector across init AND refresh paths."""
+    verts, idx, r = _soup(n_tris=20000, seed=7, spread=8.0)
+    fb = f2.build_fused2(verts, idx, cluster_size=16, mxu=True)
+    assert fb.num_clusters > 1024, fb.num_clusters  # really multi-tile
+    n = 512
+    o = jnp.asarray(r.uniform(-10, 10, (n, 3)).astype(np.float32))
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    ref = cl.cluster_closest_hit(o, d, fb.cluster)
+    rec, _ = f2.fused2_closest_hit(o, d, fb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec.tri), np.asarray(ref.tri))
+    occ = f2.fused2_occluded(o, d, fb, interpret=True)
+    occ_ref = cl.cluster_occluded(o, d, fb.cluster)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
