@@ -57,9 +57,11 @@ MAX_STEPS = 512
 # probes can ablate per process): smaller = tighter per-ray pruning for
 # incoherent blocks, at one extra [B,K] slab pass per interval
 REFRESH_CLUSTERS = 8
-# phase-A K-tile width (module constant so probes can ablate): smaller tiles
+# phase-A K-tile width (env-overridable so probes can ablate): smaller tiles
 # skip more dead slab work on large-K scenes at one scalar branch per tile
-PHASE_TILE_K = 1024
+import os as _os
+
+PHASE_TILE_K = int(_os.environ.get("OWLPT_PHASE_TILE_K", "1024"))
 
 # attr plane row layout (32 rows x C lanes per cluster, f32 always)
 #   0:3 n0.xyz   3:6 n1.xyz   6:9 n2.xyz
