@@ -37,6 +37,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,15 +55,13 @@ FANOUT = 2
 # so a generous bound costs nothing in the typical case and keeps pathological
 # (fully incoherent) blocks off the whole-wave exact-fallback path
 MAX_STEPS = 512
-# per-ray frontier refresh interval, in retired CLUSTERS (module constant so
+# per-ray frontier refresh interval, in retired CLUSTERS (env-overridable so
 # probes can ablate per process): smaller = tighter per-ray pruning for
-# incoherent blocks, at one extra [B,K] slab pass per interval
-REFRESH_CLUSTERS = 8
+# incoherent blocks, at one extra (tile-gated) slab pass per interval
+REFRESH_CLUSTERS = int(os.environ.get("OWLPT_REFRESH_CLUSTERS", "8"))
 # phase-A K-tile width (env-overridable so probes can ablate): smaller tiles
 # skip more dead slab work on large-K scenes at one scalar branch per tile
-import os as _os
-
-PHASE_TILE_K = int(_os.environ.get("OWLPT_PHASE_TILE_K", "1024"))
+PHASE_TILE_K = int(os.environ.get("OWLPT_PHASE_TILE_K", "1024"))
 
 # attr plane row layout (32 rows x C lanes per cluster, f32 always)
 #   0:3 n0.xyz   3:6 n1.xyz   6:9 n2.xyz
