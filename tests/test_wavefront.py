@@ -175,3 +175,31 @@ def test_fused_deferred_nee_matches_separate_occlusion():
         fused2_sort=True, fused_nee=True,
     )
     np.testing.assert_allclose(img_fs, img_sep, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_deferred_nee_with_zombies():
+    """Deep-depth NEE: Russian roulette (depth > rr_start_depth=3) kills
+    paths AT a vertex that just created a pending shadow ray -- the ZOMBIE
+    case of the deferred-NEE state machine (lane banks one step late, after
+    its last shadow ray resolves).  Must still equal the separate-occlusion
+    estimator exactly, and the frame must DRAIN (no stuck pendings at
+    end-of-work)."""
+    import dataclasses
+
+    from test_nee import box_with_light
+
+    scene = box_with_light()
+    s = RenderSettings(width=12, height=12, max_samples=12, max_path_depth=8,
+                       environment_intensity=0.0, environment_color=(0, 0, 0),
+                       use_nee=True)
+    accel_cl = film_mod.make_accel(scene, "cluster", cluster_size=64)
+    accel_f2 = film_mod.make_accel(scene, "fused2", cluster_size=64)
+    img_sep, rays_sep = wf.render_image_wavefront(
+        scene, s, accel=accel_cl, lanes=512, iters_per_launch=4
+    )
+    img_fused, rays_fused = wf.render_image_wavefront(
+        scene, s, accel=accel_f2, lanes=512, iters_per_launch=4,
+        fused_nee=True,
+    )
+    assert rays_sep == rays_fused
+    np.testing.assert_allclose(img_fused, img_sep, rtol=1e-4, atol=1e-5)
