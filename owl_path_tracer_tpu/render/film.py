@@ -95,8 +95,18 @@ def make_accel(scene: Scene, kind: str = "cluster", cluster_size: int | None = N
 
         if kind == "fused2-bf16":
             plane_dtype = jnp.bfloat16
+        if cluster_size is None:
+            # scene-adaptive fat-cluster size: small scenes at C=512
+            # degenerate to a handful of clusters with no pruning
+            # granularity (cornell-box: K=35, interior blocks retire
+            # most of them; C=256 -> K=70 measured +14% non-NEE / +15%
+            # NEE, docs/PERF.md round 4).  Keep K >= ~64 down to C=128.
+            cluster_size = 512
+            n_tris = int(scene.tri_idx.shape[0])
+            while cluster_size > 128 and n_tris // cluster_size < 64:
+                cluster_size //= 2
         return build_fused2_scene(
-            scene, cluster_size=cluster_size or 512,
+            scene, cluster_size=cluster_size,
             plane_dtype=plane_dtype or np.float32,
         )
     cluster_size = cluster_size or 128
