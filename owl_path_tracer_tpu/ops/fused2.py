@@ -883,8 +883,8 @@ def _morton3(x, y, z, bits: int = 4):
 # o6d4 17.6s -- finer origin cells pack bounce rays from smaller surface
 # patches, finer direction cones shrink the per-block cluster union; o6 adds
 # nothing over o5 on this scene scale.
-SORT_O_BITS = 5  # origin Morton bits per axis
-SORT_D_BITS = 4  # direction bits per axis
+SORT_O_BITS = int(os.environ.get("OWLPT_SORT_O_BITS", "5"))  # origin Morton bits/axis
+SORT_D_BITS = int(os.environ.get("OWLPT_SORT_D_BITS", "4"))  # direction bits/axis
 
 
 def ray_sort_keys(ray_o, ray_d, bounds) -> jnp.ndarray:

@@ -273,3 +273,37 @@ def test_multi_tile_phase_a():
     occ = f2.fused2_occluded(o, d, fb, interpret=True)
     occ_ref = cl.cluster_occluded(o, d, fb.cluster)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
+def test_make_accel_adaptive_cluster_size():
+    """make_accel picks the fat-cluster size per scene: interior/small
+    scenes halve C until K >= 64 (pruning granularity; measured +14% on
+    cornell), large scenes keep C=512."""
+    import jax.numpy as _jnp
+
+    from owl_path_tracer_tpu.render import film as film_mod
+
+    class _S:  # minimal stand-in with the fields make_accel touches
+        pass
+
+    def fake_scene(n_tris):
+        verts, idx, r = _soup(n_tris=n_tris, seed=1)
+        import types
+
+        from owl_path_tracer_tpu.models import material as material_mod
+        from test_integrator import sphere_scene  # reuse a real Scene shell
+
+        sc = sphere_scene(material_mod.single())
+        return sc._replace(
+            vertices=_jnp.asarray(verts), tri_idx=_jnp.asarray(idx),
+            normals=_jnp.zeros((len(verts), 3), _jnp.float32),
+            texcoords=_jnp.zeros((len(verts), 2), _jnp.float32),
+            tri_mat=_jnp.zeros((n_tris,), _jnp.int32),
+        )
+
+    small = film_mod.make_accel(fake_scene(2000), "fused2")
+    assert small.cluster_size == 128, small.cluster_size
+    mid = film_mod.make_accel(fake_scene(20000), "fused2")
+    assert mid.cluster_size == 256, mid.cluster_size
+    big = film_mod.make_accel(fake_scene(40000), "fused2")
+    assert big.cluster_size == 512, big.cluster_size
