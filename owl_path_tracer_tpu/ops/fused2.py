@@ -885,6 +885,34 @@ def _morton3(x, y, z, bits: int = 4):
 # nothing over o5 on this scene scale.
 SORT_O_BITS = int(os.environ.get("OWLPT_SORT_O_BITS", "5"))  # origin Morton bits/axis
 SORT_D_BITS = int(os.environ.get("OWLPT_SORT_D_BITS", "4"))  # direction bits/axis
+# key width contract: coherence keys occupy bits [0,30); bit 30 is the mixed
+# sweep's shadow-class bit; bit 31 stays clear (i32 sign).  Env-overridden
+# resolutions that would overflow the morton key into the class bit are a
+# silent sort corruption -- refuse at import.
+assert 3 * (SORT_O_BITS + SORT_D_BITS) <= 30, (
+    "OWLPT_SORT_O_BITS/OWLPT_SORT_D_BITS overflow the 30-bit key budget",
+    SORT_O_BITS, SORT_D_BITS,
+)
+SHADOW_CLASS_BIT = 30
+
+# wave sort mode: "cid2" (round 5 default) sorts by the ray's first TWO
+# candidate clusters (nearest slab entries) lexicographically, morton cell as
+# the minor key; "morton" is the round-2..4 origin/direction key.  Measured
+# ideal block unions on bounce waves (tools/tpu_probe8.py, B=256):
+# dragon7 28.2 -> 6.4, cornell 10.3 -> 1.4, dragon8 40.4 -> 12.0 -- blocks
+# become nearly pure in cluster need (p90 union = 1), so the block-dedup
+# retirement loop approaches the measured per-ray need (u_ray ~ 0.8).
+SORT_MODE = os.environ.get("OWLPT_SORT_MODE", "cid2")
+assert SORT_MODE in ("cid2", "morton"), SORT_MODE
+# candidate-scan K-chunk width (memory bound: [N,chunk] slab temps)
+CID_CHUNK = 512
+# candidate coarsening: the key scan runs over META-boxes (each the union of
+# CID_META SAH-consecutive clusters), cutting the [N,K] scan cost by the
+# same factor.  Measured union degradation is mild (dragon7 B=256: 6.56 ->
+# 7.2 at meta=4; dragon8 12.1 -> 13.0) because SAH-adjacent clusters are
+# spatially adjacent, so rays grouped by meta-candidates still share leaf
+# clusters (tools-level meta probe, round 5).
+CID_META = int(os.environ.get("OWLPT_CID_META", "4"))
 
 
 def ray_sort_keys(ray_o, ray_d, bounds) -> jnp.ndarray:
@@ -905,6 +933,144 @@ def ray_sort_keys(ray_o, ray_d, bounds) -> jnp.ndarray:
     dq = jnp.clip((ray_d * 0.5 + 0.5) * dcells, 0.0, dcells - 1.0).astype(jnp.int32)
     dk = (dq[:, 0] << (2 * db)) | (dq[:, 1] << db) | dq[:, 2]
     return (mk << (3 * db)) | dk
+
+
+def _top2_candidates(ray_o, ray_d, t_max, boxes, k: int):
+    """Per-ray ids of the two nearest candidate clusters (slab entry order).
+
+    Entry = max(slab t_near, T_MIN), valid iff entry <= min(t_far, t_max).
+    Rays with no (or one) candidate get the sentinel id ``k`` -- they sort
+    last, forming blocks that retire after zero (or one) clusters.  Computed
+    as a lax.scan over K-chunks so memory stays [N, CID_CHUNK] at any K.
+
+    This mirrors the kernel's phase-A slab test but runs OUTSIDE the kernel,
+    pre-sort: the ids are only an ordering key, so slab rounding is
+    irrelevant to correctness (the kernel re-derives its own frontier).
+    """
+    n = ray_o.shape[0]
+    ch = min(CID_CHUNK, k)
+    kp = (k + ch - 1) // ch * ch
+    bx = boxes
+    if kp != k:
+        # pad with far point-boxes (cmin = cmax = 3e37, the ops/cluster.py
+        # pad convention): the slab test yields tn = tf = +-3e37 per sign,
+        # never a valid [T_MIN, t_max] entry.  NB inverted boxes (cmin >
+        # cmax) do NOT work -- per-axis min/max reorders the planes and the
+        # "impossible" box matches everything at T_MIN.
+        pad = jnp.concatenate(
+            [
+                jnp.full((6, kp - k), 3e37, jnp.float32),
+                jnp.zeros((2, kp - k), jnp.float32),
+            ]
+        )
+        bx = jnp.concatenate([boxes, pad], 1)
+    bx = bx.reshape(8, kp // ch, ch).transpose(1, 0, 2)  # [nchunk,8,ch]
+
+    def inv(dc):
+        return 1.0 / jnp.where(
+            jnp.abs(dc) < 1e-12, jnp.where(dc < 0, -1e-12, 1e-12), dc
+        )
+
+    ia = [inv(ray_d[:, a : a + 1]) for a in range(3)]
+    oa = [ray_o[:, a : a + 1] for a in range(3)]
+    tmax_col = (
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))[:, None]
+        if jnp.ndim(t_max) == 0 else t_max[:, None]
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, ch), 1)
+
+    def body(carry, args):
+        e1, i1, e2, i2 = carry
+        cb, k0 = args
+        tn = jnp.full((n, ch), -jnp.inf)
+        tf = jnp.full((n, ch), jnp.inf)
+        for a in range(3):
+            t0 = ia[a] * cb[a : a + 1] - oa[a] * ia[a]
+            t1 = ia[a] * cb[3 + a : 4 + a] - oa[a] * ia[a]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        enter = jnp.maximum(tn, m.T_MIN)
+        ent = jnp.where(
+            (enter <= jnp.minimum(tf, tmax_col)), enter, jnp.inf
+        )
+        c1 = jnp.min(ent, axis=1, keepdims=True)
+        a1 = jnp.min(jnp.where(ent == c1, col, ch), axis=1, keepdims=True)
+        ent2 = jnp.where(col == a1, jnp.inf, ent)
+        c2 = jnp.min(ent2, axis=1, keepdims=True)
+        a2 = jnp.min(jnp.where(ent2 == c2, col, ch), axis=1, keepdims=True)
+        g1, g2 = a1 + k0, a2 + k0
+        # merge {(e1,i1),(e2,i2)} with {(c1,g1),(c2,g2)} (each pair ordered):
+        # ties break toward the EARLIER chunk (carry), matching entry-order
+        # traversal's stable id order
+        take_c = c1 < e1
+        ne1 = jnp.where(take_c, c1, e1)
+        ni1 = jnp.where(take_c, g1, i1)
+        lo2 = jnp.where(take_c, e1, c1)  # loser of the first merge
+        li2 = jnp.where(take_c, i1, g1)
+        take_c2 = jnp.minimum(e2, c2) < lo2
+        use_e2 = e2 <= c2
+        ne2 = jnp.where(take_c2, jnp.minimum(e2, c2), lo2)
+        ni2 = jnp.where(take_c2, jnp.where(use_e2, i2, g2), li2)
+        return (ne1, ni1, ne2, ni2), None
+
+    inf1 = jnp.full((n, 1), jnp.inf)
+    sent = jnp.full((n, 1), kp, jnp.int32)
+    (e1, i1, e2, i2), _ = jax.lax.scan(
+        body, (inf1, sent, inf1, sent),
+        (bx, jnp.arange(0, kp, ch, dtype=jnp.int32)),
+    )
+    first = jnp.where(jnp.isinf(e1[:, 0]), k, jnp.minimum(i1[:, 0], k))
+    second = jnp.where(jnp.isinf(e2[:, 0]), k, jnp.minimum(i2[:, 0], k))
+    return first, second
+
+
+def _meta_boxes(boxes, k: int, meta: int):
+    """[8,K] cluster AABBs -> [8,KM] unions of ``meta`` consecutive clusters
+    (SAH build order is spatially coherent, so unions stay tight).  Pad
+    clusters (cmin >= 1e30) are excluded; all-pad groups become far point
+    boxes (the never-hit convention)."""
+    if meta <= 1:
+        return boxes, k
+    km = (k + meta - 1) // meta
+    kp = km * meta
+    bx = boxes
+    if kp != k:
+        bx = jnp.concatenate(
+            [boxes, jnp.full((8, kp - k), 3e37, jnp.float32)], 1
+        )
+    real = bx[0:1] < 1e30  # [1,kp]
+    lo = jnp.min(
+        jnp.where(real, bx[0:3], jnp.inf).reshape(3, km, meta), axis=-1
+    )
+    hi = jnp.max(
+        jnp.where(real, bx[3:6], -jnp.inf).reshape(3, km, meta), axis=-1
+    )
+    none = ~jnp.any(real.reshape(1, km, meta), axis=-1)
+    lo = jnp.where(none, 3e37, lo)
+    hi = jnp.where(none, 3e37, hi)
+    return jnp.concatenate([lo, hi, jnp.zeros((2, km), jnp.float32)]), km
+
+
+def wave_sort_keys(ray_o, ray_d, t_max, fb: "Fused2BVH") -> jnp.ndarray:
+    """Active-mode coherence key (< 2^30; bit 30 reserved for the shadow
+    class).  ``cid2``: (first candidate meta-cluster, second candidate,
+    coarse morton) lexicographic; ``morton``: the round-2..4 key.
+    """
+    if SORT_MODE == "morton":
+        return ray_sort_keys(ray_o, ray_d, fb.bounds)
+    boxes, k = _meta_boxes(fb.boxes, fb.num_clusters, CID_META)
+    first, second = _top2_candidates(ray_o, ray_d, t_max, boxes, k)
+    kb = max(1, (k + 1).bit_length())  # bits for ids in [0, k]
+    mb = 30 - 2 * kb  # leftover minor-key bits
+    if mb < 0:  # K beyond ~23k clusters: first candidate only
+        kb = min(kb, 30)
+        return (first << (30 - kb)).astype(jnp.int32)
+    key = (first << (kb + mb)) | (second << mb)
+    if mb > 0:
+        morton = ray_sort_keys(ray_o, ray_d, fb.bounds)
+        mshift = max(0, 3 * (SORT_O_BITS + SORT_D_BITS) - mb)
+        key = key | (morton >> mshift)
+    return key.astype(jnp.int32)
 
 
 def _inverse_perm(perm):
@@ -955,7 +1121,7 @@ def fused2_closest_hit(
     ray_o_p, ray_d_p, t_max_p, _ = _pad_rays(ray_o, ray_d, t_max, block)
 
     if sort:
-        keys = ray_sort_keys(ray_o_p, ray_d_p, fb.bounds)
+        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb)
         perm = jnp.argsort(keys, stable=True)
         rays = pack_rays(ray_o_p, ray_d_p, t_max_p)[perm]  # ONE row gather
         out = fused2_traverse_packed(
@@ -1015,7 +1181,7 @@ def fused2_occluded(
     ray_o_p, ray_d_p, t_max_p, _ = _pad_rays(ray_o, ray_d, t_max, block)
 
     if sort:
-        keys = ray_sort_keys(ray_o_p, ray_d_p, fb.bounds)
+        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb)
         perm = jnp.argsort(keys, stable=True)
         rays = pack_rays(ray_o_p, ray_d_p, t_max_p)[perm]  # ONE row gather
         out = fused2_traverse_packed(
@@ -1076,8 +1242,8 @@ def fused2_sweep_mixed(
         # their bounce neighbors' full closest-hit duration -- measured 33%
         # slower on cornell NEE).  Within each class the usual coherence
         # key applies, so shadow rays from one cell still share blocks.
-        keys = ray_sort_keys(ray_o_p, ray_d_p, fb.bounds)
-        keys = keys | jnp.where(shadow_p, jnp.int32(1) << 30, 0)
+        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb)
+        keys = keys | jnp.where(shadow_p, jnp.int32(1) << SHADOW_CLASS_BIT, 0)
         perm = jnp.argsort(keys, stable=True)
         out = fused2_traverse_packed(
             rays[perm], fb, interpret=interpret, block=block,
