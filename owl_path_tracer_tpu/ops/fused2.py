@@ -34,7 +34,7 @@ XLA cluster intersector.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import partial, reduce
 from typing import NamedTuple
 
 import os
@@ -384,11 +384,6 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                 def _():
                     compute_tile()
 
-    # cap = tmax is exact: a valid hit needs t < tmax and entry <= t.
-    # Prefill 0 (non-inf) so the merge semantics treat everything as live.
-    bent_ref[:, :] = jnp.zeros((1, k), jnp.float32)
-    frontier_update(tmax)
-
     zeros = jnp.zeros((b, 1), jnp.float32)
     best_ref[:, 0:1] = tmax
     best_ref[:, 1:3] = jnp.zeros((b, 2), jnp.float32)
@@ -406,6 +401,7 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
     gc = (4 * c) if mxu else c  # plane columns per cluster
     col_k1 = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     col_cc = jax.lax.broadcasted_iota(jnp.int32, (b, cc), 1)
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
 
     # block prune bound: a cluster is worth visiting iff its nearest entry
     # over the block beats SOME ray's prune t (conservative block-level
@@ -493,11 +489,47 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
             axis=1,
         )
 
-    # ── warm-up: pick + prefetch the first group into slot 0 ──
-    g0 = pick_group(bent_ref[:, :], block_pmax())
-    ctl_ref[0] = jnp.where(g0[0] < k, 0, 1)  # done flag
-    store_group(0, g0)
-    start_dmas(0, g0)
+    # ── scene gate: a [B,1] slab test against the whole-scene AABB decides
+    # whether this block does ANY traversal.  Sky-directed, parked, and
+    # end-of-frame-drain blocks (a large fraction of every real frame's
+    # lanes: the dragon frame is ~43% miss rays mid-frame) skip phase A,
+    # the frontier init, and the loop entirely -- measured ~7 us/block of
+    # pure fixed cost before this gate (round-5 parked-wave probe). ──
+    if multi_tile:
+        scene_lo = [reduce(jnp.minimum, [t[a] for t in tile_lo]) for a in range(3)]
+        scene_hi = [reduce(jnp.maximum, [t[a] for t in tile_hi]) for a in range(3)]
+    else:
+        scene_lo = [
+            jnp.min(jnp.where(boxes_ref[a : a + 1] < 1e30, boxes_ref[a : a + 1], jnp.inf))
+            for a in range(3)
+        ]
+        scene_hi = [
+            jnp.max(jnp.where(boxes_ref[3 + a : 4 + a] < 1e30, boxes_ref[3 + a : 4 + a], -jnp.inf))
+            for a in range(3)
+        ]
+    gtn = jnp.full((b, 1), -jnp.inf, jnp.float32)
+    gtf = jnp.full((b, 1), jnp.inf, jnp.float32)
+    for a, (ia, oa) in enumerate(((ix, ox), (iy, oy), (iz, oz))):
+        t0 = ia * scene_lo[a] - oa * ia
+        t1 = ia * scene_hi[a] - oa * ia
+        gtn = jnp.maximum(gtn, jnp.minimum(t0, t1))
+        gtf = jnp.minimum(gtf, jnp.maximum(t0, t1))
+    g_e = jnp.maximum(gtn, t_min)
+    scene_live = jnp.any(g_e <= jnp.minimum(gtf, tmax))
+
+    ctl_ref[0] = jnp.int32(1)  # done unless the gate opens and finds work
+
+    @pl.when(scene_live)
+    def _():
+        # cap = tmax is exact: a valid hit needs t < tmax and entry <= t.
+        # Prefill 0 (non-inf) so the merge treats everything as live.
+        bent_ref[:, :] = jnp.zeros((1, k), jnp.float32)
+        frontier_update(tmax)
+        # warm-up: pick + prefetch the first group into slot 0
+        g0 = pick_group(bent_ref[:, :], block_pmax())
+        ctl_ref[0] = jnp.where(g0[0] < k, 0, 1)  # done flag
+        store_group(0, g0)
+        start_dmas(0, g0)
 
     # ── pipelined retirement loop: pick+prefetch next, intersect current ──
     # A real while_loop, NOT a fixed-trip fori with a skip flag: a skipped
@@ -549,43 +581,148 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
 
             start_dmas(1 - slot, nxt)
             wait_dmas(slot, cur_ids)
-            fresh_cols = group_col_mask(cur_ids)  # [1,cc]
             if mxu:
+                # ── per-slot winner chain: the MT matmul runs ONCE over the
+                # whole group (MXU-cheap) but the VPU winner chain runs PER
+                # SLOT behind a cid-valid gate -- a group's dead slots (the
+                # common case on coherent blocks, where U ~ 1 < fanout) cost
+                # one scalar branch instead of a full-width chain, and the
+                # old de-interleave concats disappear (each slot's det|u|v|t
+                # groups are static slices of the matmul output).  Slots
+                # update best SEQUENTIALLY, so slot j+1's window test prunes
+                # against slot j's tighter best t; winner choice is unchanged
+                # (strict < keeps the earlier slot on exact ties, matching
+                # the old concat argmin's lowest-column tie-break).
                 pb = buf_ref[slot]  # [16, fanout*4C] feature matrix
-                # ONE matmul over the whole group, then de-interleave the
-                # det|u|v|t column groups of each cluster (static slices)
                 out4 = jnp.dot(rfeat, pb, preferred_element_type=jnp.float32)
+                for j, cid in enumerate(cur_ids):
+                    # slot 0 is ALWAYS a valid cluster while the loop runs
+                    # (the done flag is derived from it at pick time), so it
+                    # gets straight-line code; only slots 1+ pay a validity
+                    # branch -- and skip their whole chain when dead (the
+                    # common case on coherent blocks, where U ~ 1 < fanout)
+                    def slot_chain(cid=cid, j=j):
+                        base = j * 4 * c
+                        det = out4[:, base : base + c]
+                        sgn = jnp.where(det < 0.0, -1.0, 1.0)
+                        dd = det * sgn  # |det|
+                        ua = out4[:, base + c : base + 2 * c] * sgn
+                        vb = out4[:, base + 2 * c : base + 3 * c] * sgn
+                        tcd = out4[:, base + 3 * c : base + 4 * c] * sgn
+                        # NB: no tid >= 0 term -- padding slots have all-zero
+                        # planes (ops/cluster.py pads) so dd >= eps excludes
+                        # them
+                        ok = (
+                            (dd >= 1e-12)
+                            & (ua >= 0.0)
+                            & (vb >= 0.0)
+                            & (ua + vb <= dd)
+                            & (tcd > dd * t_min)
+                            & (tcd < dd * best_ref[:, 0:1])
+                        )
+                        if any_hit:
+                            got = jnp.max(
+                                jnp.where(ok, 1.0, 0.0), axis=-1, keepdims=True
+                            )
+                            best_ref[:, 4:5] = jnp.maximum(best_ref[:, 4:5], got)
+                            return
+                        # winner selection on the DIVISION-FREE products:
+                        # pick the smallest t = tcd/dd via the elementwise
+                        # quotient (one [B,C] divide), then recover u,v with
+                        # two [B,1] divides on the picked numerators --
+                        # bit-identical to dividing first (same operands,
+                        # same rounding)
+                        dd_safe = jnp.where(dd < 1e-12, 1.0, dd)
+                        t = jnp.where(ok, tcd / dd_safe, jnp.inf)
+                        tc = jnp.min(t, axis=-1, keepdims=True)  # [B,1]
+                        wcol = jnp.min(
+                            jnp.where(t == tc, col_c, c), axis=-1, keepdims=True
+                        )
+                        onehot = col_c == wcol
+                        better = tc < best_ref[:, 0:1]
+                        best_ref[:, 0:1] = jnp.where(better, tc, best_ref[:, 0:1])
+                        if not fetch_attrs:
+                            # probe path: winner u/v/tid picked full-width.
+                            # The production (fetch_attrs) path gets tid from
+                            # the attr matmul below and (t,u,v) from the
+                            # post-loop winner-geometry replay (round-4 lean
+                            # winner).
+                            pick = lambda x: jnp.sum(
+                                jnp.where(onehot, x, 0.0), axis=-1, keepdims=True
+                            )
+                            tid = pb[10:11, base : base + c]
+                            dd_w = pick(dd)
+                            dd_w = jnp.where(dd_w < 1e-12, 1.0, dd_w)
+                            u = pick(ua) / dd_w
+                            v = pick(vb) / dd_w
+                            best_ref[:, 1:2] = jnp.where(better, u, best_ref[:, 1:2])
+                            best_ref[:, 2:3] = jnp.where(better, v, best_ref[:, 2:3])
+                            best_ref[:, 3:4] = jnp.where(
+                                better,
+                                pick(jnp.broadcast_to(tid, (b, c))),
+                                best_ref[:, 3:4],
+                            )
+                        best_ref[:, 4:5] = jnp.where(better, 1.0, best_ref[:, 4:5])
+                        best_ref[:, 7:8] = jnp.where(
+                            better, cid.astype(jnp.float32), best_ref[:, 7:8]
+                        )
+                        best_ref[:, 8:9] = jnp.where(
+                            better, wcol.astype(jnp.float32), best_ref[:, 8:9]
+                        )
+                        if fetch_attrs:
+                            # winner payload folded in RIGHT HERE as ONE MXU
+                            # matmul: attr[b,r] = sum_c onehot[b,c]*abuf[r,c].
+                            # The TPU's DEFAULT f32 matmul runs ONE bf16
+                            # pass, which would round the payload (and the
+                            # tri id!) to 8 mantissa bits; splitting the
+                            # [ATTR_ROWS,C] operand into three exact bf16
+                            # terms (f32 = hi+mid+lo) and summing three
+                            # native-bf16 matmuls reconstructs every one-hot
+                            # row copy EXACTLY (oh is 0/1 = bf16-exact; each
+                            # product is a single exact term in the f32
+                            # accumulator) at ~1/3 the cost of
+                            # Precision.HIGHEST (measured -11% end to end).
+                            # The slot gate guarantees abuf columns are fresh
+                            # (the old full-width fold had to zero stale
+                            # columns of skipped DMAs).
+                            oh_b = jnp.where(onehot & better, 1.0, 0.0)  # [B,C]
+                            ab = abuf_ref[slot, :, j * c : (j + 1) * c]
+                            oh16 = oh_b.astype(jnp.bfloat16)
+                            hi = ab.astype(jnp.bfloat16)
+                            r1 = ab - hi.astype(jnp.float32)
+                            md = r1.astype(jnp.bfloat16)
+                            lo = (r1 - md.astype(jnp.float32)).astype(jnp.bfloat16)
+                            dn = (((1,), (1,)), ((), ()))
+                            val = (
+                                jax.lax.dot_general(
+                                    oh16, hi, dn, preferred_element_type=jnp.float32)
+                                + jax.lax.dot_general(
+                                    oh16, md, dn, preferred_element_type=jnp.float32)
+                                + jax.lax.dot_general(
+                                    oh16, lo, dn, preferred_element_type=jnp.float32)
+                            )  # [B,ATTR_ROWS]
+                            attr_ref[:, :] = jnp.where(better, val, attr_ref[:, :])
+                            # winner tri id rides the same matmul (attr row 16)
+                            best_ref[:, 3:4] = jnp.where(
+                                better, val[:, 16:17], best_ref[:, 3:4]
+                            )
 
-                def degroup(mat, g):
-                    if fanout == 1:
-                        return mat[:, g * c : (g + 1) * c]
-                    return jnp.concatenate(
-                        [
-                            mat[:, j * 4 * c + g * c : j * 4 * c + (g + 1) * c]
-                            for j in range(fanout)
-                        ],
-                        axis=1,
-                    )  # [B, cc]
-
-                det = degroup(out4, 0)
-                sgn = jnp.where(det < 0.0, -1.0, 1.0)
-                dd = det * sgn  # |det|
-                ua = degroup(out4, 1) * sgn  # u*|det|
-                vb = degroup(out4, 2) * sgn  # v*|det|
-                tcd = degroup(out4, 3) * sgn  # t*|det|
-                # NB: no tid >= 0 term -- padding slots have all-zero planes
-                # (ops/cluster.py pads) so dd >= eps already excludes them
-                ok = (
-                    (dd >= 1e-12)
-                    & (ua >= 0.0)
-                    & (vb >= 0.0)
-                    & (ua + vb <= dd)
-                    & (tcd > dd * t_min)
-                    & (tcd < dd * best_ref[:, 0:1])
-                    & fresh_cols
-                )
+                    if j == 0:
+                        slot_chain()
+                    else:
+                        pl.when(cid < k)(slot_chain)
+                if mixed and not any_hit:
+                    # shadow lane with ANY recorded hit terminates: t -> t_min
+                    # removes it from the prune bound and from further hit
+                    # acceptance (TERMINATE_ON_FIRST_HIT, device.cu:106-107)
+                    best_ref[:, 0:1] = jnp.where(
+                        shadow & (best_ref[:, 4:5] > 0.0),
+                        jnp.float32(t_min), best_ref[:, 0:1],
+                    )
             else:
-                pb = buf_ref[slot]  # [16,C] (fanout==1 only)
+                # legacy component-plane path (fanout==1): full-width chain
+                pb = buf_ref[slot]  # [16,C]
+                fresh_cols = group_col_mask(cur_ids)  # [1,C]
                 tid = pb[9:10, :]
                 t, u, v, ok = mt_components(
                     (ox, oy, oz), (dx, dy, dz),
@@ -595,119 +732,64 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                     t_min, best_ref[:, 0:1],
                 )
                 ok &= (tid >= 0.0) & fresh_cols
-
-            if any_hit:
-                got = jnp.max(
-                    jnp.where(ok, 1.0, 0.0), axis=-1, keepdims=True
-                )
-                best_ref[:, 4:5] = jnp.maximum(best_ref[:, 4:5], got)
-            else:
-                if mxu:
-                    # winner selection on the DIVISION-FREE products: pick
-                    # the smallest t = tcd/dd via the elementwise quotient
-                    # (one [B,C] divide), then recover u,v with two [B,1]
-                    # divides on the picked numerators -- bit-identical to
-                    # dividing first (same operands, same rounding), minus
-                    # two full-width [B,C] divides per retirement
-                    dd_safe = jnp.where(dd < 1e-12, 1.0, dd)
-                    t = jnp.where(ok, tcd / dd_safe, jnp.inf)
+                if any_hit:
+                    got = jnp.max(
+                        jnp.where(ok, 1.0, 0.0), axis=-1, keepdims=True
+                    )
+                    best_ref[:, 4:5] = jnp.maximum(best_ref[:, 4:5], got)
                 else:
                     t = jnp.where(ok, t, jnp.inf)
-                tc = jnp.min(t, axis=-1, keepdims=True)  # [B,1]
-                wcol = jnp.min(
-                    jnp.where(t == tc, col_cc, cc), axis=-1, keepdims=True
-                )
-                onehot = col_cc == wcol
-                better = tc < best_ref[:, 0:1]
-                pick = lambda x: jnp.sum(
-                    jnp.where(onehot, x, 0.0), axis=-1, keepdims=True
-                )
-                best_ref[:, 0:1] = jnp.where(better, tc, best_ref[:, 0:1])
-                if not fetch_attrs:
-                    # probe path: winner u/v/tid picked full-width here.
-                    # The production (fetch_attrs) path gets tid from the
-                    # attr matmul below and (t,u,v) from the post-loop
-                    # winner-geometry replay -- 6 fewer [B,cc] passes per
-                    # retirement (round-4 lean winner).
-                    if mxu:
-                        tid = degroup(pb[10:11], 0)
-                        dd_w = pick(dd)
-                        dd_w = jnp.where(dd_w < 1e-12, 1.0, dd_w)
-                        u = pick(ua) / dd_w
-                        v = pick(vb) / dd_w
-                    else:
-                        u = pick(u)
-                        v = pick(v)
-                    best_ref[:, 1:2] = jnp.where(better, u, best_ref[:, 1:2])
-                    best_ref[:, 2:3] = jnp.where(better, v, best_ref[:, 2:3])
+                    tc = jnp.min(t, axis=-1, keepdims=True)  # [B,1]
+                    wcol = jnp.min(
+                        jnp.where(t == tc, col_cc, cc), axis=-1, keepdims=True
+                    )
+                    onehot = col_cc == wcol
+                    better = tc < best_ref[:, 0:1]
+                    pick = lambda x: jnp.sum(
+                        jnp.where(onehot, x, 0.0), axis=-1, keepdims=True
+                    )
+                    best_ref[:, 0:1] = jnp.where(better, tc, best_ref[:, 0:1])
+                    best_ref[:, 1:2] = jnp.where(better, pick(u), best_ref[:, 1:2])
+                    best_ref[:, 2:3] = jnp.where(better, pick(v), best_ref[:, 2:3])
                     best_ref[:, 3:4] = jnp.where(
                         better, pick(jnp.broadcast_to(tid, (b, cc))), best_ref[:, 3:4]
                     )
-                best_ref[:, 4:5] = jnp.where(better, 1.0, best_ref[:, 4:5])
-                # winner cluster id: map the winning column's group slot back
-                # to that slot's cluster id (scalar broadcasts)
-                wgroup = wcol // c  # [B,1]
-                wcid = jnp.zeros((b, 1), jnp.float32)
-                for j, cid in enumerate(cur_ids):
-                    wcid = jnp.where(wgroup == j, cid.astype(jnp.float32), wcid)
-                best_ref[:, 7:8] = jnp.where(better, wcid, best_ref[:, 7:8])
-                best_ref[:, 8:9] = jnp.where(
-                    better, (wcol % c).astype(jnp.float32), best_ref[:, 8:9]
-                )
-                if fetch_attrs:
-                    # winner payload folded in RIGHT HERE as ONE MXU matmul:
-                    # attr[b,r] = sum_c onehot[b,c] * abuf[r,c], i.e.
-                    # dot_general([B,C],[16,C]) contracting C.  Exact despite
-                    # the MXU: each output row has exactly one nonzero term
-                    # (onehot is 0/1), and the f32 matmul's 3-way bf16
-                    # mantissa split reconstructs a single product exactly.
-                    # The 16-row one-hot VPU fold this replaces measured
-                    # +83 ms/wave on incoherent bounce waves -- it DOUBLED
-                    # traversal cost (tools/tpu_probe3.py, round 3).
-                    # (group attr DMAs already waited in wait_dmas)
-                    oh_b = jnp.where(onehot & better, 1.0, 0.0)  # [B,cc]
-                    # a skipped DMA (invalid group slot) leaves UNINITIALIZED
-                    # payload columns; 0 * NaN = NaN survives the matmul SUM,
-                    # so zero stale columns first (the old where-fold masked
-                    # this implicitly)
-                    # the TPU's DEFAULT f32 matmul runs ONE bf16 pass,
-                    # which would round the attr payload (and the tri id!) to 8 mantissa
-                    # bits.  Splitting the [ATTR_ROWS,cc] operand into three
-                    # exact bf16 terms (f32 = hi+mid+lo, 8 bits each) and
-                    # summing three native-bf16 matmuls reconstructs every
-                    # one-hot row copy EXACTLY (oh_b is 0/1 = bf16-exact;
-                    # each product is a single exact term in the f32
-                    # accumulator) at ~1/3 the cost of Precision.HIGHEST
-                    # (measured -11% end-to-end) -- the split runs on the
-                    # small [ATTR_ROWS,cc] side, not per ray.
-                    ab = jnp.where(fresh_cols, abuf_ref[slot], 0.0)
-                    oh16 = oh_b.astype(jnp.bfloat16)
-                    hi = ab.astype(jnp.bfloat16)
-                    r1 = ab - hi.astype(jnp.float32)
-                    md = r1.astype(jnp.bfloat16)
-                    lo = (r1 - md.astype(jnp.float32)).astype(jnp.bfloat16)
-                    dn = (((1,), (1,)), ((), ()))
-                    val = (
-                        jax.lax.dot_general(
-                            oh16, hi, dn, preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            oh16, md, dn, preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            oh16, lo, dn, preferred_element_type=jnp.float32)
-                    )  # [B,ATTR_ROWS]
-                    attr_ref[:, :] = jnp.where(better, val, attr_ref[:, :])
-                    # winner tri id rides the same matmul (attr row 16)
-                    best_ref[:, 3:4] = jnp.where(
-                        better, val[:, 16:17], best_ref[:, 3:4]
+                    best_ref[:, 4:5] = jnp.where(better, 1.0, best_ref[:, 4:5])
+                    best_ref[:, 7:8] = jnp.where(
+                        better, cur_ids[0].astype(jnp.float32), best_ref[:, 7:8]
                     )
-                if mixed:
-                    # shadow lane with ANY recorded hit terminates: t -> t_min
-                    # removes it from the prune bound and from further hit
-                    # acceptance (TERMINATE_ON_FIRST_HIT, device.cu:106-107)
-                    best_ref[:, 0:1] = jnp.where(
-                        shadow & (best_ref[:, 4:5] > 0.0),
-                        jnp.float32(t_min), best_ref[:, 0:1],
+                    best_ref[:, 8:9] = jnp.where(
+                        better, wcol.astype(jnp.float32), best_ref[:, 8:9]
                     )
+                    if fetch_attrs:
+                        # full-width exact attr fold (see the mxu path's
+                        # 3-term bf16 split rationale); stale columns of
+                        # skipped DMAs zeroed via fresh_cols
+                        oh_b = jnp.where(onehot & better, 1.0, 0.0)
+                        ab = jnp.where(fresh_cols, abuf_ref[slot], 0.0)
+                        oh16 = oh_b.astype(jnp.bfloat16)
+                        hi = ab.astype(jnp.bfloat16)
+                        r1 = ab - hi.astype(jnp.float32)
+                        md = r1.astype(jnp.bfloat16)
+                        lo = (r1 - md.astype(jnp.float32)).astype(jnp.bfloat16)
+                        dn = (((1,), (1,)), ((), ()))
+                        val = (
+                            jax.lax.dot_general(
+                                oh16, hi, dn, preferred_element_type=jnp.float32)
+                            + jax.lax.dot_general(
+                                oh16, md, dn, preferred_element_type=jnp.float32)
+                            + jax.lax.dot_general(
+                                oh16, lo, dn, preferred_element_type=jnp.float32)
+                        )
+                        attr_ref[:, :] = jnp.where(better, val, attr_ref[:, :])
+                        best_ref[:, 3:4] = jnp.where(
+                            better, val[:, 16:17], best_ref[:, 3:4]
+                        )
+                    if mixed:
+                        best_ref[:, 0:1] = jnp.where(
+                            shadow & (best_ref[:, 4:5] > 0.0),
+                            jnp.float32(t_min), best_ref[:, 0:1],
+                        )
             # block-level clusters-retired counter (diagnostic)
             n_ret = jnp.zeros((), jnp.float32)
             for cid in cur_ids:
@@ -754,7 +836,13 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
         # the output value compilation-dependent at knife edges (the
         # in-loop fallback t is matmul-rounded, ~0.4% off the replay; the
         # window verdict itself can flip with Mosaic-vs-interpret FMA
-        # fusion).  Degenerate-det winners (grazing) keep the in-loop value.
+        # fusion).  Degenerate-det winners (possible only when the replay's
+        # f32 det and the in-loop matmul det disagree across the 1e-12
+        # threshold -- an extreme-grazing rounding corner) keep the in-loop
+        # t and report uv = (0,0) (vertex-0 barycentrics): the production
+        # loop no longer writes per-iteration u/v, and for a det ~ 1e-12
+        # sliver the barycentrics are ill-conditioned to O(1) anyway, so any
+        # in-window value is equally defensible.
         e1x_, e1y_, e1z_ = gp(20), gp(21), gp(22)
         e2x_, e2y_, e2z_ = gp(23), gp(24), gp(25)
         hx = dy * e2z_ - dz * e2y_
@@ -895,15 +983,19 @@ assert 3 * (SORT_O_BITS + SORT_D_BITS) <= 30, (
 )
 SHADOW_CLASS_BIT = 30
 
-# wave sort mode: "cid2" (round 5 default) sorts by the ray's first TWO
-# candidate clusters (nearest slab entries) lexicographically, morton cell as
-# the minor key; "morton" is the round-2..4 origin/direction key.  Measured
-# ideal block unions on bounce waves (tools/tpu_probe8.py, B=256):
-# dragon7 28.2 -> 6.4, cornell 10.3 -> 1.4, dragon8 40.4 -> 12.0 -- blocks
-# become nearly pure in cluster need (p90 union = 1), so the block-dedup
-# retirement loop approaches the measured per-ray need (u_ray ~ 0.8).
-SORT_MODE = os.environ.get("OWLPT_SORT_MODE", "cid2")
-assert SORT_MODE in ("cid2", "morton"), SORT_MODE
+# wave sort mode: "cid2" sorts by the ray's first TWO candidate clusters
+# (nearest slab entries) lexicographically, morton cell as the minor key;
+# "morton" is the round-2..4 origin/direction key.  Measured ideal block
+# unions on incoherent waves (tools/tpu_probe8.py, B=256): dragon7 28.2 ->
+# 6.4, cornell 10.3 -> 1.4 -- blocks become nearly pure in cluster need.
+# On real OPEN-scene frames (dragon/car) morton is already at its sort-ideal
+# union (saved-wave probes, docs/PERF.md round 5) and cid2's key scan is
+# pure cost; on INTERIOR frames (cornell) cid2 wins 31-46% end to end.  The
+# renderers therefore resolve ``sort=True`` scene-adaptively (camera inside
+# the scene AABB -> cid2, else morton; auto_sort_mode), and the env var
+# forces one mode globally for probes/ablations.
+SORT_MODE = os.environ.get("OWLPT_SORT_MODE", "auto")
+assert SORT_MODE in ("auto", "cid2", "morton"), SORT_MODE
 # candidate-scan K-chunk width (memory bound: [N,chunk] slab temps)
 CID_CHUNK = 512
 # candidate coarsening: the key scan runs over META-boxes (each the union of
@@ -1051,12 +1143,47 @@ def _meta_boxes(boxes, k: int, meta: int):
     return jnp.concatenate([lo, hi, jnp.zeros((2, km), jnp.float32)]), km
 
 
-def wave_sort_keys(ray_o, ray_d, t_max, fb: "Fused2BVH") -> jnp.ndarray:
-    """Active-mode coherence key (< 2^30; bit 30 reserved for the shadow
+def auto_sort_mode(scene) -> str:
+    """Scene-adaptive sort mode for ``sort=True`` (resolved OUTSIDE jit:
+    needs concrete vertex arrays).  ENCLOSED scenes -- geometry tiles the
+    scene AABB's faces, so bounce rays cannot escape and morton block unions
+    blow up (cornell: walls in every direction) -- get the candidate-cluster
+    key (measured +31-46% end to end there); open scenes keep morton
+    (measured already at its sort-ideal union, so cid2's key scan is pure
+    cost).  Enclosure proxy: total triangle area vs AABB surface area --
+    cornell ~1.0+, dragon/car/mitsuba ~0.35 (pure numpy, build-time)."""
+    if SORT_MODE != "auto":
+        return SORT_MODE
+    v = np.asarray(scene.vertices)
+    tri = np.asarray(scene.tri_idx)
+    p0 = v[tri[:, 0]]
+    e1 = v[tri[:, 1]] - p0
+    e2 = v[tri[:, 2]] - p0
+    tri_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum()
+    ext = np.maximum(v.max(0) - v.min(0), 1e-6)
+    aabb_area = 2.0 * (ext[0] * ext[1] + ext[1] * ext[2] + ext[0] * ext[2])
+    return "cid2" if tri_area / aabb_area > 0.6 else "morton"
+
+
+def resolve_sort(sort) -> str | None:
+    """Normalize a ``sort`` static arg: False -> None, True -> "morton"
+    (legacy spelling; renderers resolve True via auto_sort_mode before jit),
+    else the mode string.  The env override wins everywhere."""
+    if not sort:
+        return None
+    mode = "morton" if sort is True else sort
+    if SORT_MODE != "auto":
+        mode = SORT_MODE
+    assert mode in ("cid2", "morton"), mode
+    return mode
+
+
+def wave_sort_keys(ray_o, ray_d, t_max, fb: "Fused2BVH", mode: str = "morton") -> jnp.ndarray:
+    """Coherence key for ``mode`` (< 2^30; bit 30 reserved for the shadow
     class).  ``cid2``: (first candidate meta-cluster, second candidate,
     coarse morton) lexicographic; ``morton``: the round-2..4 key.
     """
-    if SORT_MODE == "morton":
+    if mode == "morton":
         return ray_sort_keys(ray_o, ray_d, fb.bounds)
     boxes, k = _meta_boxes(fb.boxes, fb.num_clusters, CID_META)
     first, second = _top2_candidates(ray_o, ray_d, t_max, boxes, k)
@@ -1120,8 +1247,9 @@ def fused2_closest_hit(
     n0 = ray_o.shape[0]
     ray_o_p, ray_d_p, t_max_p, _ = _pad_rays(ray_o, ray_d, t_max, block)
 
-    if sort:
-        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb)
+    mode = resolve_sort(sort)
+    if mode:
+        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb, mode=mode)
         perm = jnp.argsort(keys, stable=True)
         rays = pack_rays(ray_o_p, ray_d_p, t_max_p)[perm]  # ONE row gather
         out = fused2_traverse_packed(
@@ -1180,8 +1308,9 @@ def fused2_occluded(
     n0 = ray_o.shape[0]
     ray_o_p, ray_d_p, t_max_p, _ = _pad_rays(ray_o, ray_d, t_max, block)
 
-    if sort:
-        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb)
+    mode = resolve_sort(sort)
+    if mode:
+        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb, mode=mode)
         perm = jnp.argsort(keys, stable=True)
         rays = pack_rays(ray_o_p, ray_d_p, t_max_p)[perm]  # ONE row gather
         out = fused2_traverse_packed(
@@ -1235,14 +1364,15 @@ def fused2_sweep_mixed(
         shadow_p = jnp.concatenate([shadow, jnp.zeros((pad,), bool)])
 
     rays = pack_rays(ray_o_p, ray_d_p, t_max_p, shadow=shadow_p)
-    if sort:
+    mode = resolve_sort(sort)
+    if mode:
         # shadow flag is the TOP key bit: blocks stay PURE bounce or pure
         # shadow, preserving the any-hit early exit (an occluded shadow
         # block retires immediately; mixed blocks would pin shadow lanes to
         # their bounce neighbors' full closest-hit duration -- measured 33%
         # slower on cornell NEE).  Within each class the usual coherence
         # key applies, so shadow rays from one cell still share blocks.
-        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb)
+        keys = wave_sort_keys(ray_o_p, ray_d_p, t_max_p, fb, mode=mode)
         keys = keys | jnp.where(shadow_p, jnp.int32(1) << SHADOW_CLASS_BIT, 0)
         perm = jnp.argsort(keys, stable=True)
         out = fused2_traverse_packed(

@@ -186,6 +186,7 @@ def sharded_wavefront_chunk(
     lights,
     env_light,
     work_split: str = "contiguous",
+    fused_nee: bool = False,
 ):
     """shard_map'd ``iters`` wavefront steps.  Every chip runs its own
     persistent lane pool over a disjoint slice of the (pixel, sample) work
@@ -233,8 +234,12 @@ def sharded_wavefront_chunk(
             ), None
 
         intersect_fn, occlude_fn = integrator.make_intersectors(scene, accel)
+        # deferred mixed-sweep NEE is OPT-IN, mirroring the single-chip
+        # renderer's fused_nee=False default: the separate any-hit sweep
+        # measured ~26% faster on cornell NEE (docs/ROUND4.md #8)
         mixed_fn = (
-            integrator.make_mixed_sweep_fn(accel) if settings.use_nee else None
+            integrator.make_mixed_sweep_fn(accel)
+            if (settings.use_nee and fused_nee) else None
         )
         st, _ = jax.lax.scan(body, st, None, length=iters)
         status = jnp.stack(
@@ -276,6 +281,7 @@ def render_image_wavefront_sharded(
     max_launches: int = 1000,
     return_stats: bool = False,
     work_split: str = "auto",
+    fused_nee: bool = False,
 ):
     """Full-frame render: one persistent wavefront pool PER CHIP.
 
@@ -339,7 +345,7 @@ def render_image_wavefront_sharded(
 
     fn = sharded_wavefront_chunk(
         mesh, scene, settings, accel, enable_textures, iters_per_launch,
-        lights, env_light, work_split=work_split,
+        lights, env_light, work_split=work_split, fused_nee=fused_nee,
     )
     for _ in range(max_launches):
         st, status = fn(st, hi_d)

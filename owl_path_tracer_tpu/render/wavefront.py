@@ -109,6 +109,13 @@ def wavefront_step(
       Work imbalance averages out over the S items per lane.
     """
     strided = st.acc.ndim == 3  # acc [P,3,L] (lane-minor; see new_pool)
+    # the strided film's banking math (lane_first_pixel/slot below) assumes
+    # UNMAPPED contiguous global ids; combining it with the sharded "sample"
+    # work split's id remapping would bank into wrong pixel slots silently
+    assert not (strided and (work_map is not None or local_spp is not None)), (
+        "strided film is incompatible with work_map/local_spp (sharded "
+        "'sample' split) -- use the queue film there"
+    )
     # park dead lanes' rays far outside every scene AABB: the traversal
     # kernel's phase-A frontier comes up empty so parked blocks retire after
     # zero iterations.  Only matters in the end-of-frame drain (work
@@ -423,6 +430,13 @@ def render_image_wavefront(
     from .film import scene_has_textures
 
     enable_textures = scene_has_textures(scene)
+    if fused2_sort is True:
+        # resolve the scene-adaptive sort mode OUTSIDE jit (needs concrete
+        # camera/vertex arrays): interior scenes -> candidate-cluster key,
+        # open scenes -> morton (ops/fused2.py auto_sort_mode)
+        from ..ops.fused2 import auto_sort_mode
+
+        fused2_sort = auto_sort_mode(scene)
     total_work = settings.width * settings.height * settings.max_samples
 
     lights = None
