@@ -463,15 +463,28 @@ def render_image_wavefront(
         strided_pixels = total_work // lanes // spp  # P pixels per lane
     st = new_pool(settings, lanes, strided_pixels=strided_pixels)
 
+    # adaptive launch sizing: a SMALL frame (trend config: 1M work items =
+    # ~8 productive steps) must not pay 32-step launch granularity -- the
+    # pipelined loop's trailing launch alone was 32 dead steps (~360 ms,
+    # round-5 trend decomposition).  The expected completion step count is
+    # known up front (work/lanes handouts + path depth + regen slack), so
+    # the first launch covers it exactly and follow-ups stay small; big
+    # frames clamp to iters_per_launch on both and behave as before.  Two
+    # static sizes = two jit entries, both primed by the warm-up frame.
+    est_steps = (total_work + lanes - 1) // lanes + settings.max_path_depth + 3
+    first_iters = max(2, min(iters_per_launch, est_steps))
+    next_iters = max(4, min(iters_per_launch, (est_steps + 3) // 4))
+
     # pipelined host loop: dispatch launch i+1 BEFORE reading launch i's
     # status, so the relay's ~24 ms dispatch latency overlaps device compute
     # (JAX async dispatch; the only forced sync is the one-launch-old status
     # readback).  Costs at most one extra launch of dead steps at the end.
     prev_status = None
-    for _ in range(max_launches):
+    for i in range(max_launches):
         st, status = _run_chunk(
             scene, settings, st, accel, enable_textures, jnp.int32(total_work),
-            iters_per_launch, lights, env_light, fused2_block=fused2_block,
+            first_iters if i == 0 else next_iters, lights, env_light,
+            fused2_block=fused2_block,
             film_mode=film_mode, fused2_sort=fused2_sort,
             fused2_fanout=fused2_fanout, fused_nee=fused_nee,
         )
