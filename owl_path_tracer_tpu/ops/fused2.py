@@ -57,8 +57,11 @@ FANOUT = 2
 MAX_STEPS = 512
 # per-ray frontier refresh interval, in retired CLUSTERS (env-overridable so
 # probes can ablate per process): smaller = tighter per-ray pruning for
-# incoherent blocks, at one extra (tile-gated) slab pass per interval
-REFRESH_CLUSTERS = int(os.environ.get("OWLPT_REFRESH_CLUSTERS", "8"))
+# incoherent blocks, at one extra (tile-gated) slab pass per interval.
+# Default 8 -> 16 in round 5: with the scene gate + per-slot chain the
+# refresh slab weighs relatively more (dragon7 9.53 -> 9.80, dragon8
+# 6.72 -> 7.06; real-wave probe 12.5 -> 11.7 ms)
+REFRESH_CLUSTERS = int(os.environ.get("OWLPT_REFRESH_CLUSTERS", "16"))
 # phase-A K-tile width (env-overridable so probes can ablate): smaller tiles
 # skip more dead slab work on large-K scenes at one scalar branch per tile
 PHASE_TILE_K = int(os.environ.get("OWLPT_PHASE_TILE_K", "1024"))

@@ -96,15 +96,21 @@ def make_accel(scene: Scene, kind: str = "cluster", cluster_size: int | None = N
         if kind == "fused2-bf16":
             plane_dtype = jnp.bfloat16
         if cluster_size is None:
-            # scene-adaptive fat-cluster size: small scenes at C=512
+            # scene-adaptive fat-cluster size: small OPEN scenes at C=512
             # degenerate to a handful of clusters with no pruning
-            # granularity (cornell-box: K=35, interior blocks retire
-            # most of them; C=256 -> K=70 measured +14% non-NEE / +15%
-            # NEE, docs/PERF.md round 4).  Keep K >= ~64 down to C=128.
+            # granularity under the morton sort (car: C=256 measured
+            # 10.23 -> 10.66, docs/PERF.md round 4).  ENCLOSED scenes take
+            # the cid2 candidate-cluster sort (auto_sort_mode), whose
+            # nearly-pure blocks restore per-ray-scale pruning at any K --
+            # there C=512 wins again (cornell 10.87 -> 11.20, round 5),
+            # so the K >= 64 halving only applies to morton scenes.
+            from ..ops.fused2 import auto_sort_mode
+
             cluster_size = 512
-            n_tris = int(scene.tri_idx.shape[0])
-            while cluster_size > 128 and n_tris // cluster_size < 64:
-                cluster_size //= 2
+            if auto_sort_mode(scene) != "cid2":
+                n_tris = int(scene.tri_idx.shape[0])
+                while cluster_size > 128 and n_tris // cluster_size < 64:
+                    cluster_size //= 2
         return build_fused2_scene(
             scene, cluster_size=cluster_size,
             plane_dtype=plane_dtype or np.float32,
