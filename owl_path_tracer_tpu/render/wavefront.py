@@ -415,6 +415,9 @@ def render_image_wavefront(
     fused2_fanout: int | None = None,
     readback_f16: bool = False,
     fused_nee: bool = False,
+    checkpoint_path: str | None = None,
+    checkpoint_every_s: float = 600.0,
+    progress: bool = False,
 ) -> tuple:
     """Full-frame render via the persistent pool.
 
@@ -426,6 +429,19 @@ def render_image_wavefront(
     ``readback_f16`` downcasts the film on-device before the host readback --
     the 12 MB f32 film costs ~490 ms over the relay (tools/tpu_probe5.py);
     f16 halves it at ~1e-3 relative image error (display-bound use only).
+
+    ``checkpoint_path`` enables crash-safe production rendering (the
+    reference's program has no analog -- its 12288-spp frame is
+    all-or-nothing): every ``checkpoint_every_s`` seconds the pool is
+    DRAINED (work handouts capped at the current queue position, launches
+    continue until every in-flight path has banked -- at most ~depth+2
+    steps) and (film, work_counter, rays) is written atomically.  A rerun
+    with the same path resumes from the last checkpoint with a fresh pool;
+    the estimator is unchanged because every (pixel, sample) work item's
+    RNG stream is seeded by its id alone (_spawn), so finished items are in
+    the film exactly once and pending items render identically after
+    resume.  Queue-film mode only (the strided film partitions work
+    statically).
     """
     from .film import scene_has_textures
 
@@ -475,11 +491,76 @@ def render_image_wavefront(
     first_iters = max(2, min(iters_per_launch, est_steps))
     next_iters = max(4, min(iters_per_launch, (est_steps + 3) // 4))
 
+    # --- checkpoint/resume (queue film only) ---
+    import os
+    import time as _time
+
+    ck_guard = dict(
+        width=settings.width, height=settings.height,
+        spp=settings.max_samples, depth=settings.max_path_depth,
+        lanes=lanes, nee=int(settings.use_nee),
+    )
+    if checkpoint_path is not None:
+        assert st.acc.ndim == 2, "checkpointing requires the queue film"
+        if os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            mismatch = [
+                kk for kk, vv in ck_guard.items() if int(ck[kk]) != int(vv)
+            ]
+            if mismatch:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written by a different "
+                    f"config (mismatched: {mismatch}); refusing to resume"
+                )
+            st = st._replace(
+                acc=jnp.asarray(ck["acc"]),
+                work_counter=jnp.int32(int(ck["work_counter"])),
+                rays=jnp.int32(int(ck["rays"])),
+            )
+            if progress:
+                print(
+                    f"[wavefront] resumed at work item "
+                    f"{int(ck['work_counter'])}/{total_work} "
+                    f"({100.0 * int(ck['work_counter']) / total_work:.1f}%)",
+                    flush=True,
+                )
+
+    def save_checkpoint(st):
+        """Drain in-flight paths (no new handouts), then write atomically."""
+        wc = jnp.int32(int(st.work_counter))  # forced readback = drain cap
+        for _ in range(64):
+            st, status = _run_chunk(
+                scene, settings, st, accel, enable_textures, wc,
+                next_iters, lights, env_light, fused2_block=fused2_block,
+                film_mode=film_mode, fused2_sort=fused2_sort,
+                fused2_fanout=fused2_fanout, fused_nee=fused_nee,
+            )
+            s = np.asarray(status)
+            if not s[1]:  # nothing alive or pending: film is consistent
+                break
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: savez won't append .npz
+            np.savez(
+                f, acc=np.asarray(st.acc),
+                work_counter=int(st.work_counter), rays=int(st.rays),
+                **ck_guard,
+            )
+        os.replace(tmp, checkpoint_path)
+        if progress:
+            done = int(st.work_counter)
+            print(
+                f"[wavefront] checkpoint @ {done}/{total_work} "
+                f"({100.0 * done / total_work:.1f}%), "
+                f"{int(st.rays) / 1e6:.0f}M rays", flush=True,
+            )
+        return st
+
     # pipelined host loop: dispatch launch i+1 BEFORE reading launch i's
     # status, so the relay's ~24 ms dispatch latency overlaps device compute
     # (JAX async dispatch; the only forced sync is the one-launch-old status
     # readback).  Costs at most one extra launch of dead steps at the end.
     prev_status = None
+    last_ck = _time.time()
     for i in range(max_launches):
         st, status = _run_chunk(
             scene, settings, st, accel, enable_textures, jnp.int32(total_work),
@@ -493,6 +574,13 @@ def render_image_wavefront(
             if ps[0] and not ps[1]:
                 break
         prev_status = status
+        if (
+            checkpoint_path is not None
+            and _time.time() - last_ck > checkpoint_every_s
+        ):
+            st = save_checkpoint(st)
+            prev_status = None  # drained: stale pipeline status is invalid
+            last_ck = _time.time()
 
     if readback_f16:
         acc = np.asarray(st.acc.astype(jnp.float16)).astype(np.float32)

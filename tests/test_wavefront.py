@@ -203,3 +203,59 @@ def test_fused_deferred_nee_with_zombies():
     )
     assert rays_sep == rays_fused
     np.testing.assert_allclose(img_fused, img_sep, rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_kill_and_resume(tmp_path):
+    """A killed-and-resumed render reproduces the uninterrupted image.
+
+    Interruption is simulated by capping max_launches after a checkpoint was
+    written (checkpoint_every_s=0 saves at every launch boundary); the rerun
+    resumes from the file and completes.  Work items are (pixel, sample)-
+    seeded so the estimator is identical; only the f32 film summation ORDER
+    can differ (samples of a pixel bank in completion order), hence
+    allclose, not array_equal.  VERDICT r4 #5."""
+    mat = material_mod.single(base_color=(0.6, 0.6, 0.2), roughness=0.6, specular=0.0)
+    scene = sphere_scene(mat)
+    s = RenderSettings(width=16, height=16, max_samples=8, max_path_depth=3,
+                       environment_auto=True, environment_intensity=1.0)
+    ck = str(tmp_path / "film.ck")
+
+    img_ref, rays_ref = wf.render_image_wavefront(
+        scene, s, lanes=256, iters_per_launch=4)
+
+    # "killed" run: checkpoint at the first launch boundary (2 steps in --
+    # only ~a quarter of the work handed out), then stop
+    wf.render_image_wavefront(
+        scene, s, lanes=256, iters_per_launch=2, max_launches=1,
+        checkpoint_path=ck, checkpoint_every_s=0.0)
+    import os
+
+    assert os.path.exists(ck)
+    mid = np.load(ck)
+    assert 0 < int(mid["work_counter"]) < 16 * 16 * 8
+
+    # resumed run: completes from the checkpoint
+    img_res, rays_res = wf.render_image_wavefront(
+        scene, s, lanes=256, iters_per_launch=4,
+        checkpoint_path=ck, checkpoint_every_s=1e9)
+    np.testing.assert_allclose(img_res, img_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_config_guard(tmp_path):
+    """Resuming under a different config must refuse, not mis-accumulate."""
+    import pytest
+
+    mat = material_mod.single(base_color=(0.6, 0.6, 0.2), roughness=0.6, specular=0.0)
+    scene = sphere_scene(mat)
+    s = RenderSettings(width=16, height=16, max_samples=4, max_path_depth=2,
+                       environment_auto=True, environment_intensity=1.0)
+    ck = str(tmp_path / "film.ck")
+    wf.render_image_wavefront(
+        scene, s, lanes=256, iters_per_launch=4, max_launches=2,
+        checkpoint_path=ck, checkpoint_every_s=0.0)
+    import dataclasses
+
+    s2 = dataclasses.replace(s, max_samples=8)
+    with pytest.raises(ValueError, match="different"):
+        wf.render_image_wavefront(
+            scene, s2, lanes=256, iters_per_launch=4, checkpoint_path=ck)

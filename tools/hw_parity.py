@@ -44,8 +44,11 @@ def main():
     ap.add_argument("--sub", type=int, default=6)
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--c", type=int, default=512)
-    ap.add_argument("--block", type=int, default=256)
-    ap.add_argument("--out", default="HWPARITY_r04.json")
+    ap.add_argument("--blocks", default="128,256",
+                    help="comma list of kernel block sizes to cover")
+    ap.add_argument("--dtypes", default="f32,bf16",
+                    help="comma list of plane dtypes to cover")
+    ap.add_argument("--out", default="HWPARITY_r05.json")
     args = ap.parse_args()
 
     import jax
@@ -60,16 +63,24 @@ def main():
     from owl_path_tracer_tpu.ops import fused2 as f2
 
     scene, settings = load(args.sub)
-    fb = f2.build_fused2_scene(scene, cluster_size=args.c)
+    blocks = [int(b) for b in args.blocks.split(",")]
+    dtypes = args.dtypes.split(",")
 
-    report = {"sub": args.sub, "n": args.n, "c": args.c, "block": args.block,
-              "fanout": f2.FANOUT, "cases": []}
+    report = {"sub": args.sub, "n": args.n, "c": args.c, "blocks": blocks,
+              "dtypes": dtypes, "fanout": f2.FANOUT, "cases": []}
     ok_all = True
-    for kind in ("primary", "bounce"):
+    for dtype, block, kind in [
+        (dt, b, kk) for dt in dtypes for b in blocks
+        for kk in ("primary", "bounce")
+    ]:
+        fb = f2.build_fused2_scene(
+            scene, cluster_size=args.c,
+            plane_dtype=jnp.bfloat16 if dtype == "bf16" else np.float32,
+        )
         o, d = make_rays(scene, args.n, kind)
         tmax = jnp.full((args.n,), 1e10, jnp.float32)
         for any_hit in (False, True):
-            kw = dict(block=args.block, max_steps=512,
+            kw = dict(block=block, max_steps=512,
                       with_attrs=not any_hit, any_hit=any_hit)
             hw = np.asarray(f2.fused2_traverse(o, d, tmax, fb, interpret=False, **kw))
             it = np.asarray(f2.fused2_traverse(o, d, tmax, fb, interpret=True, **kw))
@@ -77,7 +88,8 @@ def main():
             if any_hit:
                 exact = bool((hw[res, 4] == it[res, 4]).all())
                 case = {
-                    "kind": kind, "any_hit": any_hit,
+                    "kind": kind, "any_hit": any_hit, "block": block,
+                    "dtype": dtype,
                     "resolved_frac": float(res.mean()),
                     "winner_bits_exact": exact,
                     "hash_hw": digest(hw[res]),
@@ -118,7 +130,8 @@ def main():
                         np.abs(hf[:, 0] - itf[:, 0]).__truediv__(denom).max()
                     )
                 case = {
-                    "kind": kind, "any_hit": any_hit,
+                    "kind": kind, "any_hit": any_hit, "block": block,
+                    "dtype": dtype,
                     "resolved_frac": float(res.mean()),
                     "hw_blob_vs_table_max": blob_d,
                     "hw_t_vs_truth_max": t_truth_d,
