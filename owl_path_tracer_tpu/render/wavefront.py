@@ -59,8 +59,15 @@ class PoolState(NamedTuple):
     sh_active: jnp.ndarray  # [L] bool pending flag
 
 
-def _spawn(scene, settings, lane_work_id, total_work):
-    """Work item -> (pixel, primary ray, rng state). Per-(pixel,sample) seed."""
+def _spawn(scene, settings, lane_work_id, total_work, sample_base=0):
+    """Work item -> (pixel, primary ray, rng state). Per-(pixel,sample) seed.
+
+    ``sample_base`` offsets the GLOBAL sample index of this render's local
+    sample ids: an spp-segmented render (production frames whose full
+    pixel x sample id space exceeds int32, e.g. 1080x1440x12288 = 19.1G)
+    seeds segment k's local sample s as (pixel, base_k + s) -- the union
+    over segments draws exactly the stream set a single monolithic run
+    would, so segmenting is estimator-identical."""
     spp = settings.max_samples
     pixel_lin = lane_work_id // spp
     sample = lane_work_id % spp
@@ -70,7 +77,10 @@ def _spawn(scene, settings, lane_work_id, total_work):
     # words (linear pixel id, sample id) -- distinct work items are distinct
     # hash inputs, so streams cannot collide by construction (a previous
     # px + 0x9E3779B1*sample folding aliased (pixel, sample) pairs)
-    st = rng_mod.seed(pixel_lin.astype(jnp.uint32), sample.astype(jnp.uint32))
+    st = rng_mod.seed(
+        pixel_lin.astype(jnp.uint32),
+        sample.astype(jnp.uint32) + jnp.uint32(sample_base),
+    )
     j0, st = rng_mod.next_f32(st)
     j1, st = rng_mod.next_f32(st)
     pixel_xy = jnp.stack([px, py], -1)
@@ -94,6 +104,7 @@ def wavefront_step(
     work_map: Callable | None = None,
     local_spp: int | None = None,
     mixed_fn: Callable | None = None,
+    sample_base: int = 0,
 ) -> PoolState:
     """One bounce for every lane + regeneration of finished lanes.
 
@@ -326,7 +337,9 @@ def wavefront_step(
     mapped_ids = jnp.maximum(new_ids, 0)
     if work_map is not None:
         mapped_ids = work_map(mapped_ids)
-    pixel_s, o_s, d_s, rng_s = _spawn(scene, settings, mapped_ids, total_work)
+    pixel_s, o_s, d_s, rng_s = _spawn(
+        scene, settings, mapped_ids, total_work, sample_base=sample_base
+    )
 
     def sel(new, old):
         mask = can_spawn
@@ -368,7 +381,11 @@ def wavefront_step(
 
 
 @partial(jax.jit, static_argnames=("settings", "enable_textures", "iters", "fused2_block", "film_mode", "fused2_sort", "fused2_fanout", "fused_nee"))
-def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None, film_mode="auto", fused2_sort=False, fused2_fanout=None, fused_nee=False):
+def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, lights, env_light, fused2_block=None, film_mode="auto", fused2_sort=False, fused2_fanout=None, fused_nee=False, sample_base=None):
+    # sample_base is TRACED (a device scalar), so spp-segmented production
+    # renders reuse one compiled chunk across segments
+    if sample_base is None:
+        sample_base = jnp.uint32(0)
     """``iters`` wavefront steps.  ``work_hi`` is traced (per-shard bound when
     the pool runs under shard_map); accel dispatch is by python type."""
     intersect_fn, occlude_fn = integrator.make_intersectors(
@@ -384,7 +401,7 @@ def _run_chunk(scene, settings, st, accel, enable_textures, work_hi, iters, ligh
         return wavefront_step(
             scene, settings, st, intersect_fn, enable_textures, work_hi,
             lights=lights, occlude_fn=occlude_fn, env_light=env_light,
-            film_mode=film_mode, mixed_fn=mixed_fn,
+            film_mode=film_mode, mixed_fn=mixed_fn, sample_base=sample_base,
         ), None
 
     st, _ = jax.lax.scan(body, st, None, length=iters)
@@ -418,6 +435,7 @@ def render_image_wavefront(
     checkpoint_path: str | None = None,
     checkpoint_every_s: float = 600.0,
     progress: bool = False,
+    sample_base: int = 0,
 ) -> tuple:
     """Full-frame render via the persistent pool.
 
@@ -446,6 +464,10 @@ def render_image_wavefront(
     from .film import scene_has_textures
 
     enable_textures = scene_has_textures(scene)
+    assert settings.width * settings.height * settings.max_samples < 2**31, (
+        "work-id space exceeds int32: render in spp segments with "
+        "sample_base offsets (tools/render_production.py does this)"
+    )
     if fused2_sort is True:
         # resolve the scene-adaptive sort mode OUTSIDE jit (needs concrete
         # camera/vertex arrays): interior scenes -> candidate-cluster key,
@@ -498,7 +520,7 @@ def render_image_wavefront(
     ck_guard = dict(
         width=settings.width, height=settings.height,
         spp=settings.max_samples, depth=settings.max_path_depth,
-        lanes=lanes, nee=int(settings.use_nee),
+        lanes=lanes, nee=int(settings.use_nee), sample_base=sample_base,
     )
     if checkpoint_path is not None:
         assert st.acc.ndim == 2, "checkpointing requires the queue film"
@@ -534,6 +556,7 @@ def render_image_wavefront(
                 next_iters, lights, env_light, fused2_block=fused2_block,
                 film_mode=film_mode, fused2_sort=fused2_sort,
                 fused2_fanout=fused2_fanout, fused_nee=fused_nee,
+                sample_base=sample_base,
             )
             s = np.asarray(status)
             if not s[1]:  # nothing alive or pending: film is consistent
@@ -561,6 +584,7 @@ def render_image_wavefront(
     # readback).  Costs at most one extra launch of dead steps at the end.
     prev_status = None
     last_ck = _time.time()
+    sample_base = jnp.uint32(sample_base)
     for i in range(max_launches):
         st, status = _run_chunk(
             scene, settings, st, accel, enable_textures, jnp.int32(total_work),
@@ -568,6 +592,7 @@ def render_image_wavefront(
             fused2_block=fused2_block,
             film_mode=film_mode, fused2_sort=fused2_sort,
             fused2_fanout=fused2_fanout, fused_nee=fused_nee,
+            sample_base=sample_base,
         )
         if prev_status is not None:
             ps = np.asarray(prev_status)
