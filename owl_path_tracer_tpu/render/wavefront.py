@@ -192,7 +192,9 @@ def wavefront_step(
         depth=st.depth,
         prev_pdf=st.prev_pdf,
     )
-    rays = st.rays + jnp.sum(ps.alive.astype(jnp.int32))
+    # uint32: a 1024-spp production segment traces ~3.8G alive-ray-steps,
+    # which wraps int32 (the film was never affected; the counter is metric)
+    rays = st.rays + jnp.sum(ps.alive.astype(jnp.uint32))
     pend = None
     if use_fused_nee:
         # path regeneration has no "last bounce", so transport order is
@@ -537,7 +539,7 @@ def render_image_wavefront(
             st = st._replace(
                 acc=jnp.asarray(ck["acc"]),
                 work_counter=jnp.int32(int(ck["work_counter"])),
-                rays=jnp.int32(int(ck["rays"])),
+                rays=jnp.uint32(int(ck["rays"])),
             )
             if progress:
                 print(
@@ -644,7 +646,7 @@ def new_pool(
             if strided_pixels
             else jnp.zeros((settings.width * settings.height, 3), jnp.float32)
         ),
-        rays=jnp.int32(0),
+        rays=jnp.uint32(0),
         work_local=jnp.zeros((lanes,), jnp.int32),
         sh_o=jnp.zeros((lanes, 3), jnp.float32),
         sh_d=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (lanes, 3)),
