@@ -276,9 +276,16 @@ def test_multi_tile_phase_a():
 
 
 def test_make_accel_adaptive_cluster_size():
-    """make_accel picks the fat-cluster size per scene: interior/small
-    scenes halve C until K >= 64 (pruning granularity; measured +14% on
-    cornell), large scenes keep C=512."""
+    """make_accel picks the fat-cluster size per scene: small OPEN scenes
+    halve C until K >= 64 (morton-sort pruning granularity; measured +14%
+    on round-4 cornell), large scenes keep C=512 -- and ENCLOSED scenes
+    (auto_sort_mode -> cid2) keep C=512 at ANY size since round 5 (the
+    candidate sort restores per-ray-scale pruning; cornell 10.87 -> 11.20).
+    The random soup used here is area-dense (enclosure proxy fires), so the
+    morton branch is pinned via the env override."""
+    import os as _os
+
+    from owl_path_tracer_tpu.ops import fused2 as _f2
     import jax.numpy as _jnp
 
     from owl_path_tracer_tpu.render import film as film_mod
@@ -301,9 +308,17 @@ def test_make_accel_adaptive_cluster_size():
             tri_mat=_jnp.zeros((n_tris,), _jnp.int32),
         )
 
-    small = film_mod.make_accel(fake_scene(2000), "fused2")
-    assert small.cluster_size == 128, small.cluster_size
-    mid = film_mod.make_accel(fake_scene(20000), "fused2")
-    assert mid.cluster_size == 256, mid.cluster_size
-    big = film_mod.make_accel(fake_scene(40000), "fused2")
-    assert big.cluster_size == 512, big.cluster_size
+    old = _f2.SORT_MODE
+    try:
+        _f2.SORT_MODE = "morton"  # open-scene branch: the K >= 64 halving
+        small = film_mod.make_accel(fake_scene(2000), "fused2")
+        assert small.cluster_size == 128, small.cluster_size
+        mid = film_mod.make_accel(fake_scene(20000), "fused2")
+        assert mid.cluster_size == 256, mid.cluster_size
+        big = film_mod.make_accel(fake_scene(40000), "fused2")
+        assert big.cluster_size == 512, big.cluster_size
+        _f2.SORT_MODE = "cid2"  # enclosed branch: C stays 512 at any size
+        small2 = film_mod.make_accel(fake_scene(2000), "fused2")
+        assert small2.cluster_size == 512, small2.cluster_size
+    finally:
+        _f2.SORT_MODE = old
