@@ -513,7 +513,11 @@ def render_image_wavefront(
     # static sizes = two jit entries, both primed by the warm-up frame.
     est_steps = (total_work + lanes - 1) // lanes + settings.max_path_depth + 3
     first_iters = max(2, min(iters_per_launch, est_steps))
-    next_iters = max(4, min(iters_per_launch, (est_steps + 3) // 4))
+    # ONE launch size per config: a distinct follow-up size would double the
+    # jitted-graph count per render config (scan length is static), and the
+    # follow-up launches it would shorten are drain-dominated -- nearly free
+    # since the scene gate (parked blocks ~2 us)
+    next_iters = first_iters
 
     # --- checkpoint/resume (queue film only) ---
     import os
