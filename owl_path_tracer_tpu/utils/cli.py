@@ -140,9 +140,14 @@ def _render(scene, rset, args, accel):
     if args.renderer == "wavefront":
         from ..render.wavefront import render_image_wavefront
 
+        ck = getattr(args, "checkpoint", None)
         img, _rays = render_image_wavefront(
             scene, rset, accel=accel, lanes=args.lanes,
             fused2_block=args.fused2_block,
+            fused2_sort=getattr(args, "sort", False),
+            checkpoint_path=ck,
+            checkpoint_every_s=getattr(args, "checkpoint_every", 600.0),
+            progress=ck is not None,
         )
         return img
     return film_mod.render_image(scene, rset, pixel_chunk=args.pixel_chunk, accel=accel)
@@ -178,6 +183,15 @@ def main(argv=None):
     ap.add_argument("--fused2-block", type=int, default=None,
                     help="rays per fused2 kernel block (default ops/fused2.BLOCK_RAYS)")
     ap.add_argument("--nee", action="store_true", help="next-event estimation + MIS")
+    ap.add_argument("--sort", action="store_true",
+                    help="wavefront: per-wave coherence sort (scene-adaptive "
+                         "morton/cid2 key; the benchmark/production default)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="wavefront: crash-safe film checkpoint path -- the "
+                         "render drains and snapshots periodically, and a "
+                         "rerun with the same path resumes")
+    ap.add_argument("--checkpoint-every", type=float, default=600.0,
+                    help="seconds between checkpoints (default 600)")
     ap.add_argument("--no-sweep", action="store_true", help="single frame, ignore test block")
     args = ap.parse_args(argv)
     run_sweep(args)
