@@ -67,6 +67,39 @@ def test_sorted_equals_unsorted(setup):
     np.testing.assert_array_equal(np.asarray(blob_a), np.asarray(blob_b))
 
 
+def test_cid2_sorted_equals_unsorted(setup):
+    """The candidate-cluster (cid2) sort -- production for enclosed scenes
+    since round 5 -- must only permute block composition, never results.
+    Covers closest-hit, occlusion, and the mixed sweep under a forced
+    OWLPT_SORT_MODE=cid2 (auto_sort_mode would pick per scene)."""
+    fb, verts, idx, o, d, r = setup
+    old = f2.SORT_MODE
+    try:
+        f2.SORT_MODE = "cid2"
+        a, blob_a = f2.fused2_closest_hit(o, d, fb, interpret=True, sort=False)
+        b, blob_b = f2.fused2_closest_hit(o, d, fb, interpret=True, sort=True)
+        np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+        np.testing.assert_array_equal(np.asarray(blob_a), np.asarray(blob_b))
+        occ_a = f2.fused2_occluded(o, d, fb, t_max=2.0, interpret=True, sort=False)
+        occ_b = f2.fused2_occluded(o, d, fb, t_max=2.0, interpret=True, sort=True)
+        np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
+        n = o.shape[0]
+        shadow = np.zeros((n,), bool)
+        shadow[::3] = True
+        tmax = jnp.full((n,), 1e10, jnp.float32)
+        ra, ba, oa = f2.fused2_sweep_mixed(
+            o, d, tmax, jnp.asarray(shadow), fb, interpret=True, sort=False)
+        rb, bb, ob = f2.fused2_sweep_mixed(
+            o, d, tmax, jnp.asarray(shadow), fb, interpret=True, sort=True)
+        np.testing.assert_array_equal(
+            np.asarray(ra.tri)[~shadow], np.asarray(rb.tri)[~shadow])
+        np.testing.assert_array_equal(
+            np.asarray(oa)[shadow], np.asarray(ob)[shadow])
+    finally:
+        f2.SORT_MODE = old
+
+
 def test_matches_brute(setup):
     fb, verts, idx, o, d, r = setup
     ref = closest_hit_brute(o, d, jnp.asarray(verts), jnp.asarray(idx))
