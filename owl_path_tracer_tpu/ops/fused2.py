@@ -335,16 +335,19 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
             tile_lo.append(los)
             tile_hi.append(his)
 
-    def frontier_update(cap):
+    def frontier_update(cap, first=False):
         """Merge the fresh [1,K] block frontier into bent_ref: min over rays
         of box entry, counting only entries a ray still needs (entry < that
         ray's cap); already-retired (inf) clusters stay retired.  Multi-tile
         scenes skip a whole tile's slab when NO ray enters the tile's
         enclosing AABB under its cap (a dead tile then costs ~20 VPU ops +
-        one scalar branch instead of the [B,tile_k] sweep)."""
+        one scalar branch instead of the [B,tile_k] sweep).  ``first=True``
+        (the phase-A init pass) skips the cap term (cap = tmax, already in
+        the window test) and writes the frontier directly instead of
+        merging against prior state -- bent_ref needs no prefill."""
         for ti, k0 in enumerate(range(0, k, tile_k)):
             kk = min(tile_k, k - k0)
-            old = bent_ref[:, k0 : k0 + kk]
+            old = None if first else bent_ref[:, k0 : k0 + kk]
 
             def compute_tile(k0=k0, kk=kk, old=old):
                 tn = jnp.full((b, kk), -jnp.inf, jnp.float32)
@@ -358,13 +361,18 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                     tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                     tf = jnp.minimum(tf, jnp.maximum(t0, t1))
                 t_enter = jnp.maximum(tn, t_min)
-                need = (t_enter <= jnp.minimum(tf, tmax)) & (t_enter < cap)
+                need = t_enter <= jnp.minimum(tf, tmax)
+                if not first:
+                    need &= t_enter < cap
                 fresh = jnp.min(
                     jnp.where(need, t_enter, jnp.inf), axis=0, keepdims=True
                 )
-                bent_ref[:, k0 : k0 + kk] = jnp.where(
-                    old == jnp.inf, jnp.inf, fresh
-                )
+                if first:
+                    bent_ref[:, k0 : k0 + kk] = fresh
+                else:
+                    bent_ref[:, k0 : k0 + kk] = jnp.where(
+                        old == jnp.inf, jnp.inf, fresh
+                    )
 
             if not multi_tile:
                 compute_tile()
@@ -378,9 +386,10 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
                     tn1 = jnp.maximum(tn1, jnp.minimum(t0, t1))
                     tf1 = jnp.minimum(tf1, jnp.maximum(t0, t1))
                 e_t = jnp.maximum(tn1, t_min)
-                tile_hit = jnp.any(
-                    (e_t <= jnp.minimum(tf1, tmax)) & (e_t < cap)
-                )
+                hit_w = e_t <= jnp.minimum(tf1, tmax)
+                if not first:
+                    hit_w &= e_t < cap
+                tile_hit = jnp.any(hit_w)
                 bent_ref[:, k0 : k0 + kk] = jnp.full((1, kk), jnp.inf)
 
                 @pl.when(tile_hit)
@@ -524,10 +533,8 @@ def _kernel(b, k, c, max_steps, with_attrs, any_hit, mxu, fanout, bf16, mixed,
 
     @pl.when(scene_live)
     def _():
-        # cap = tmax is exact: a valid hit needs t < tmax and entry <= t.
-        # Prefill 0 (non-inf) so the merge treats everything as live.
-        bent_ref[:, :] = jnp.zeros((1, k), jnp.float32)
-        frontier_update(tmax)
+        # cap = tmax is exact: a valid hit needs t < tmax and entry <= t
+        frontier_update(tmax, first=True)
         # warm-up: pick + prefetch the first group into slot 0
         g0 = pick_group(bent_ref[:, :], block_pmax())
         ctl_ref[0] = jnp.where(g0[0] < k, 0, 1)  # done flag
